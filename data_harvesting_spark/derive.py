@@ -1,0 +1,72 @@
+"""Shared transcript derivation from the driver's ``events`` table.
+
+The DuckDB-oracle correctness gate compares Spark results against ANSI SQL
+run on the same parquet files (TESTDATA.md). Transcript-shaped operators
+therefore derive a deterministic transcript view from ``events`` using ONLY
+constructs both engines evaluate identically:
+
+- total ordering (ties broken by event_id),
+- integer modulo shape assignment,
+- window functions (row_number, lag),
+- string concat / CASE WHEN.
+
+No engine-specific hash functions appear in the derivation. The SQL below is
+executed verbatim by both Spark (``spark.sql``) and DuckDB (oracle), so a
+value mismatch is a real engine bug, never a fixture skew.
+
+events schema: (event_id bigint, ts timestamp, user_id bigint,
+event_type string, value double, props string)
+"""
+
+from __future__ import annotations
+
+# Shape encoding per turn position k = turn_idx % 4:
+#   k=0 user, k=1 assistant tool-call, k=2 tool response (same tool via lag),
+#   k=3 assistant wrap-up.
+# Fault injection by event_id residues:
+#   %17==0  → empty text        (P6 forall fixtures)
+#   %13==0  → duplicate payload (A1 dedup fixtures)
+#   %19==0 on k=2 → response dropped (orphan-call fixtures, J3 negative)
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+WITH ordered AS (
+  SELECT
+    'conv-' || CAST(user_id AS STRING)  AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                                        AS turn_idx,
+    event_id, ts, event_type, value, props
+  FROM {events}
+),
+shaped AS (
+  SELECT
+    conv_id, turn_idx, event_id, ts,
+    CASE WHEN turn_idx % 4 = 0 THEN 'user'
+         WHEN turn_idx % 4 = 2 THEN 'tool'
+         ELSE 'assistant' END AS role,
+    CASE WHEN turn_idx % 4 = 1 THEN event_type
+         WHEN turn_idx % 4 = 2 THEN
+              LAG(event_type) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         ELSE NULL END AS tool,
+    CASE WHEN event_id % 17 = 0 THEN ''
+         WHEN event_id % 13 = 0 THEN 'duplicate payload ' || event_type
+         ELSE 'turn ' || CAST(event_id % 101 AS STRING) || ' '
+              || COALESCE(props, '') END AS text
+  FROM ordered
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM shaped
+WHERE NOT (turn_idx % 4 = 2 AND event_id % 19 = 0)
+"""
+
+
+def transcripts_sql(events_rel: str = "events") -> str:
+    """SQL producing the transcript view; ``events_rel`` is the relation name
+    (a registered view in both engines)."""
+    return TRANSCRIPTS_FROM_EVENTS_SQL.format(events=events_rel)
+
+
+def load_transcripts_from_events(spark, sf_dir: str):
+    """Spark side of the shared derivation: read events parquet, run the
+    identical SQL."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    return spark.sql(transcripts_sql("events"))

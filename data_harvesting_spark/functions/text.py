@@ -1,0 +1,129 @@
+"""Text analysis column builders — all JVM-side `pyspark.sql.functions`
+expressions (whole-stage codegen; no Python in the hot path).
+
+Covers the reference's string surface (SURVEY §2.6: lowercase normalization
+`projects/helmet/helmet_project.py:70`, label formatting `condition.py:155`)
+plus the training-data-pipeline text ops the graft adds: normalization +
+hashing for dedup, token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Design note: every builder returns a Column, so Catalyst can push filters
+past them and fold constants; none of them breaks whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A few high-frequency stopwords per language for the n-gram/stopword
+# language heuristic. Deliberately tiny and deterministic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "las", "una"],
+}
+
+_EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup normalization: trim, collapse whitespace, lowercase.
+
+    Mirrors the *intent* of the reference's near-dup tolerance
+    (`condition.py:66-77` treats boxes within 0.01 normalized distance as
+    dups); for text the tolerance is whitespace/case variance.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def text_hash(col: Column | str) -> Column:
+    """64-bit hash of normalized text (xxhash64, JVM-side, Arrow-friendly).
+
+    The dedup key per BASELINE.json north_star ("batch-level text hashing
+    ... stable turn ordering by (conv_id, turn_idx)").
+    """
+    return F.xxhash64(normalize_text(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count, BPE-ish: splits on whitespace and
+    punctuation boundaries so `foo,bar` counts 2 word tokens + 1 punct."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.split(F.trim(c), r"[\s\p{Punct}]+"))
+    puncts = F.length(c) - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(words + puncts)
+
+
+def _occurrences(c: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal via length arithmetic —
+    identical semantics in any ANSI engine (used for oracle-matched quality
+    features)."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, punctuation ratio, stopword ratio,
+    mean word length. Pure column arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_chars = F.length(c)
+    n_spaces = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    n_words = F.when(n_chars > 0, n_spaces + 1).otherwise(F.lit(0))
+    stop_hits = None
+    for w in _EN_STOPWORDS:
+        hit = _occurrences(padded, f" {w} ")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    n_punct = sum(
+        (_occurrences(c, p) for p in [".", ",", "!", "?", ";", ":"]),
+        F.lit(0),
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0)),
+        "mean_word_len": F.when(n_words > 0, (n_chars - n_spaces) / n_words).otherwise(F.lit(0.0)),
+    }
+
+
+def language_guess(col: Column | str) -> Column:
+    """Marker-word language heuristic: pick the language whose marker
+    stopwords occur most often; 'und' (undetermined) when no marker hits.
+
+    Expressed as a deterministic greatest-score CASE chain so the DuckDB
+    oracle can mirror it exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for w in markers:
+            hit = _occurrences(padded, f" {w} ")
+            s = hit if s is None else s + hit
+        scores[lang] = s
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    # deterministic argmax, tie-break priority en > de > fr > es
+    return (
+        F.when((en >= F.greatest(de, fr, es)) & (en >= 1), F.lit("en"))
+        .when((de >= F.greatest(fr, es)) & (de >= 1), F.lit("de"))
+        .when((fr >= es) & (fr >= 1), F.lit("fr"))
+        .when(es >= 1, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: xxhash64 of the k lexicographically-smallest
+    word shingles (a winnowing-style rolling fingerprint, JVM-side)."""
+    c = normalize_text(col)
+    words = F.split(c, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    smallest = F.slice(F.array_sort(F.array_distinct(shingles)), 1, k)
+    return F.xxhash64(F.concat_ws("\x1f", smallest))

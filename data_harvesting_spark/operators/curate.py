@@ -1,0 +1,159 @@
+"""Flagship batch curate pipeline (SURVEY §7 M1).
+
+Re-expresses the reference's per-frame harvest loop
+(`/root/reference/services/harvest_service.py:160-232` +
+`/root/reference/condition.py:8-95`) over transcripts:
+
+  1. normalize + hash text, dedup turns per conversation (A1/A2 — the
+     greedy near-dup removal, made deterministic: keep first by
+     ``(conv_id, turn_idx)`` per normalized-text group; the reference's
+     keep-order quirk at `condition.py:64` is documented, not copied)
+  2. correlate each tool-response turn with its most recent preceding
+     tool-call turn of the same tool (J3 — as-of join)
+  3. condition predicates: non-empty call/response text (P5/P6 analog)
+  4. first response per call wins (dedupe fan-out)
+  5. per-conversation emission cap, ordered by call turn_idx (P9)
+  6. stable example numbering (W3)
+
+Scale notes (the part that matters at 100 TB):
+  - the as-of join is a *window*, not a pair join — one hash shuffle on
+    ``conv_id`` (plus ``tool`` in the partition key) and a sort; no
+    calls×responses blow-up for hot conversations.
+  - every subsequent window reuses the same ``conv_id``-hashed
+    partitioning, so Catalyst collapses them into a single exchange
+    where possible.
+  - the call-text lookup is an equi self-join on ``(conv_id, turn_idx)``,
+    co-partitioned with the main stream → sort-merge join without an
+    extra exchange under AQE.
+  - all predicates are Column expressions (whole-stage codegen); the only
+    pandas UDF in the family is the optional suppression sweep
+    (operators/cap.py) which is inherently sequential per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.config import HarvestConfig
+from data_harvesting_spark.functions.text import normalize_text, text_hash
+
+
+def dedup_turns(transcripts: DataFrame) -> DataFrame:
+    """A1/A2 — dedup turns by normalized-text hash within a conversation.
+
+    Keep-first-by-turn_idx per (conv_id, norm_text). Null/empty text rows
+    are kept as-is (they carry predicate semantics downstream).
+    Reference: `condition.py:63-77` greedy near-dup removal; divergence
+    (documented in SURVEY §2.4 A1): we fix a deterministic total order.
+    """
+    t = transcripts.withColumn("norm_text", normalize_text("text"))
+    w = Window.partitionBy("conv_id", "norm_text").orderBy("turn_idx")
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """J3 — as-of correlation of tool-call turns with response turns.
+
+    For each response turn (role=cfg.response_role, tool set), find the most
+    recent preceding call turn (role=cfg.call_role, same tool) in the same
+    conversation; first response per call wins.
+    """
+    is_call = (F.col("role") == cfg.call_role) & F.col("tool").isNotNull()
+    is_resp = (F.col("role") == cfg.response_role) & F.col("tool").isNotNull()
+
+    w_tool = (
+        Window.partitionBy("conv_id", "tool")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = deduped.withColumn(
+        "prev_call_idx", F.max(F.when(is_call, F.col("turn_idx"))).over(w_tool)
+    )
+
+    resps = tagged.where(is_resp & F.col("prev_call_idx").isNotNull()).select(
+        "conv_id",
+        F.col("prev_call_idx").alias("call_turn_idx"),
+        F.col("turn_idx").alias("response_turn_idx"),
+        "tool",
+        F.col("text").alias("response_text"),
+        F.col("norm_text").alias("response_norm"),
+        F.col("ts").alias("response_ts"),
+    )
+
+    calls = deduped.where(is_call).select(
+        "conv_id",
+        F.col("turn_idx").alias("call_turn_idx"),
+        F.col("text").alias("call_text"),
+        F.col("ts").alias("call_ts"),
+    )
+    # co-partitioned equi-join on (conv_id, call_turn_idx)
+    pairs = resps.join(calls, ["conv_id", "call_turn_idx"], "inner")
+
+    w_first = Window.partitionBy("conv_id", "call_turn_idx").orderBy(
+        "response_turn_idx"
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w_first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_condition(pairs: DataFrame) -> DataFrame:
+    """P5/P6 analog — the curate condition: both sides non-empty.
+
+    Extension point analog of the reference's ``condition_func``
+    (`projects/ibase_project.py:9-20`); richer predicates live in
+    operators/predicates.py.
+    """
+    return pairs.where(
+        F.col("call_text").isNotNull()
+        & (F.length(F.trim("call_text")) > 0)
+        & F.col("response_text").isNotNull()
+        & (F.length(F.trim("response_text")) > 0)
+    )
+
+
+def cap_and_number(pairs: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """P9 emission cap + W3 stable numbering, ordered by call turn_idx."""
+    w = Window.partitionBy("conv_id").orderBy("call_turn_idx", "response_turn_idx")
+    out = pairs.withColumn("example_idx", (F.row_number().over(w) - 1).cast("int"))
+    if cfg.max_pairs_per_conv > 0:
+        out = out.where(F.col("example_idx") < cfg.max_pairs_per_conv)
+    return out
+
+
+def curate(transcripts: DataFrame, cfg: HarvestConfig | None = None) -> DataFrame:
+    """Full flagship pipeline: transcripts → curated call/response pairs.
+
+    Pure function over a DataFrame — usable unchanged from the batch runner
+    and from ``foreachBatch`` in the streaming runner (SURVEY §3 E3).
+    """
+    cfg = cfg or HarvestConfig()
+    if cfg.allowed_roles:
+        transcripts = transcripts.where(F.col("role").isin(*cfg.allowed_roles))
+    if cfg.sample_stride > 1:
+        transcripts = transcripts.where(
+            F.col("turn_idx") % cfg.sample_stride == 0
+        )
+    deduped = dedup_turns(transcripts)
+    pairs = correlate_pairs(deduped, cfg)
+    pairs = apply_condition(pairs)
+    pairs = cap_and_number(pairs, cfg)
+    return pairs.select(
+        "conv_id",
+        "example_idx",
+        "call_turn_idx",
+        "response_turn_idx",
+        "tool",
+        "call_text",
+        "response_text",
+        text_hash(F.col("response_text")).alias("text_hash"),
+        "call_ts",
+        "response_ts",
+    )

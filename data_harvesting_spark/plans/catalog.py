@@ -1,0 +1,119 @@
+"""Query catalog: every SURVEY §2 operator exposed as a named query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string over the driver's registered
+views (TESTDATA.md). Transcript-shaped queries run on the shared
+events→transcripts derivation (derive.py) so both engines start from the
+same parquet bytes.
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_harvesting_spark.derive import load_transcripts_from_events, transcripts_sql
+
+# name -> (spark_builder, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _transcripts_cte() -> str:
+    """The shared derivation as a DuckDB CTE body."""
+    return transcripts_sql("events")
+
+
+# --------------------------------------------------------------------------
+# Flagship: curate call/response pairs (M1) — S3,P2-P8,J3,A1,A7,W3
+# --------------------------------------------------------------------------
+
+_CURATE_ORACLE = f"""
+WITH transcripts AS ({_transcripts_cte()}),
+norm AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text
+  FROM transcripts
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, norm_text ORDER BY turn_idx) AS rn
+    FROM norm) t WHERE rn = 1
+),
+tagged AS (
+  SELECT *,
+    MAX(CASE WHEN role='assistant' AND tool IS NOT NULL THEN turn_idx END)
+      OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_call_idx
+  FROM dedup
+),
+resps AS (
+  SELECT conv_id, prev_call_idx AS call_turn_idx, turn_idx AS response_turn_idx,
+         tool, text AS response_text
+  FROM tagged
+  WHERE role='tool' AND tool IS NOT NULL AND prev_call_idx IS NOT NULL
+),
+pairs AS (
+  SELECT r.conv_id, r.call_turn_idx, r.response_turn_idx, r.tool,
+         r.response_text, c.text AS call_text
+  FROM resps r
+  JOIN dedup c ON r.conv_id = c.conv_id AND r.call_turn_idx = c.turn_idx
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, call_turn_idx
+                                 ORDER BY response_turn_idx) AS rn2
+    FROM pairs) t WHERE rn2 = 1
+),
+cond AS (
+  SELECT * FROM firsts
+  WHERE call_text IS NOT NULL AND length(trim(call_text)) > 0
+    AND response_text IS NOT NULL AND length(trim(response_text)) > 0
+),
+capped AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+              ORDER BY call_turn_idx, response_turn_idx) - 1 AS INT) AS example_idx,
+         call_turn_idx, response_turn_idx, tool, call_text, response_text
+  FROM cond
+)
+SELECT conv_id, example_idx, call_turn_idx, response_turn_idx, tool,
+       call_text, response_text
+FROM capped WHERE example_idx < 100
+"""
+
+
+@register("curate_pairs", _CURATE_ORACLE)
+def q_curate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return curate(t, HarvestConfig()).select(
+        "conv_id",
+        "example_idx",
+        "call_turn_idx",
+        "response_turn_idx",
+        "tool",
+        "call_text",
+        "response_text",
+    )
