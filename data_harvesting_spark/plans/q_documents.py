@@ -1,0 +1,330 @@
+"""Document/embedding-domain catalog queries — the training-data-pipeline
+surface: dedup family, similarity search, text analysis. Oracles run on the
+driver's ``documents`` / ``embeddings`` views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.plans.catalog import register
+
+# ---------------------------------------------------------------- dedup: exact
+@register(
+    "dedup_exact_docs",
+    """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text. Spark groups by the 64-bit hash
+    (8-byte shuffle key — the scale path); oracle groups by the text."""
+    from data_harvesting_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------- shingles
+_SHINGLE_SQL = """
+words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w,
+         generate_subscripts(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM grams WHERE w2 IS NOT NULL
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+@register("ngram_jaccard_dups", _JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.5."""
+    from data_harvesting_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------- minhash LSH
+# Engine-portable oracle variant: shingle ids via global dense_rank (a sort
+# barrier — fine for the oracle; the scale path uses xxhash64 ids and is
+# checked for superset-consistency in tests).
+_MINHASH_PARAMS = "params(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(
+        zip(
+            [1103, 12289, 52361, 75253, 104729, 130363, 174763, 224737,
+             350377, 499979, 611953, 756839, 859433, 941083, 982451, 1299709],
+            [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
+             90123, 13579, 24680, 35791, 46802, 57913, 68024, 79135],
+        )
+    )
+) + ")"
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_SQL},
+ids AS (
+  SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM shingles) t
+),
+sh AS (SELECT s.doc_id, i.sid FROM shingles s JOIN ids i ON s.shingle = i.shingle),
+{_MINHASH_PARAMS},
+mh AS (
+  SELECT doc_id, p.i AS hi, min((sid * p.a + p.b) % 2147483647) AS mh
+  FROM sh CROSS JOIN params p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, CAST(floor(hi / 4) AS INT) AS band,
+         string_agg(CAST(mh AS STRING), '-' ORDER BY hi) AS band_sig
+  FROM mh GROUP BY doc_id, CAST(floor(hi / 4) AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b, jaccard FROM ({_JACCARD_SQL}) v
+)
+SELECT c.doc_a, c.doc_b, v.jaccard
+FROM cand c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+"""
+
+
+@register("minhash_lsh_dups", _MINHASH_SQL)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pairs, verified at Jaccard ≥ 0.5.
+    ``hash_mode='rank'`` here for engine portability; production default is
+    xxhash64 (no global sort)."""
+    from data_harvesting_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="rank")
+
+
+# ---------------------------------------------------------------- text analysis
+def _occ_sql(expr: str, needle: str) -> str:
+    n = len(needle)
+    return f"(length({expr}) - length(replace({expr}, '{needle}', ''))) / {n}"
+
+
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that"]
+_PUNCTS = [".", ",", "!", "?", ";", ":"]
+
+_QUALITY_SQL = (
+    "SELECT doc_id, length(text) AS n_chars_q, "
+    "CAST(CASE WHEN length(text) > 0 THEN "
+    "  length(text) - length(replace(text, ' ', '')) + 1 ELSE 0 END AS BIGINT) AS n_words, "
+    "round(CASE WHEN length(text) > 0 THEN ("
+    + " + ".join(_occ_sql("text", p) for p in _PUNCTS)
+    + ") * 1.0 / length(text) ELSE 0 END, 6) AS punct_ratio, "
+    "round(CASE WHEN length(text) > 0 THEN ("
+    + " + ".join(_occ_sql("' ' || lower(text) || ' '", f" {w} ") for w in _STOPWORDS)
+    + ") * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1) ELSE 0 END, 6)"
+    "  AS stopword_ratio "
+    "FROM documents"
+)
+
+
+@register("doc_quality", _QUALITY_SQL)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (length / punct / stopword
+    ratios) — pure column arithmetic (functions/text.py)."""
+    from data_harvesting_spark.functions.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_q"),
+        feats["n_words"].alias("n_words"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "las", "una"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "(" + " + ".join(
+        _occ_sql("' ' || lower(text) || ' '", f" {w} ")
+        for w in _LANG_MARKERS[lang]
+    ) + ")"
+
+
+_LANG_SQL = f"""
+SELECT doc_id, lang,
+  CASE WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('de')}, {_lang_score_sql('fr')}, {_lang_score_sql('es')})
+        AND {_lang_score_sql('en')} >= 1 THEN 'en'
+       WHEN {_lang_score_sql('de')} >= greatest({_lang_score_sql('fr')}, {_lang_score_sql('es')})
+        AND {_lang_score_sql('de')} >= 1 THEN 'de'
+       WHEN {_lang_score_sql('fr')} >= {_lang_score_sql('es')}
+        AND {_lang_score_sql('fr')} >= 1 THEN 'fr'
+       WHEN {_lang_score_sql('es')} >= 1 THEN 'es'
+       ELSE 'und' END AS lang_guess
+FROM documents
+"""
+
+
+@register("doc_lang_id", _LANG_SQL)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic vs the table's lang column."""
+    from data_harvesting_spark.functions.text import language_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "lang", language_guess("text").alias("lang_guess"))
+
+
+# ---------------------------------------------------------------- similarity
+_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS cos
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+@register("cosine_topk", _COSINE_SQL)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the query set vec_id % 50 == 0 —
+    the ANN correctness baseline (operators/similarity.py)."""
+    from data_harvesting_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+"""
+
+
+@register("embedding_near_dup_exact", _NEARDUP_SQL)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs ≥ 0.45 (all-pairs baseline;
+    the LSH-bucketed scale variant is checked rows-only)."""
+    from data_harvesting_spark.operators.similarity import _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- rows-only
+@register("simhash_near_dups", None)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 fingerprints — not oracle-portable;
+    rows-only check; unit-tested for hamming correctness)."""
+    from data_harvesting_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (recall checked vs brute force in tests)."""
+    from data_harvesting_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_lsh(emb, queries, k=5, n_planes=8)
+
+
+@register("doc_fingerprint", None)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (xxhash64 of k smallest
+    shingles) — rows-only; stability unit-tested."""
+    from data_harvesting_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@register("media_features", None)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary payloads from document bytes
+    (deterministic), run the mapInPandas feature extractor."""
+    from data_harvesting_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+        F.current_timestamp().alias("ts"),
+    )
+    return extract_features(media)

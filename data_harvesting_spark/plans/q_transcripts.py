@@ -1,0 +1,505 @@
+"""Transcript-domain catalog queries (SURVEY §2.2/2.4/2.5 operators), each
+with a DuckDB oracle over the shared events→transcripts derivation.
+
+Convention: timestamps leave oracle-compared queries as integer epoch
+micros/seconds (exact integer math on both engines); float aggregates are
+avoided or integerized — unordered float summation is
+shuffle-order-nondeterministic at the ulp and would flake the value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.derive import load_transcripts_from_events, transcripts_sql
+from data_harvesting_spark.plans.catalog import register
+
+_T = transcripts_sql("events")
+
+
+def _with_t(body: str) -> str:
+    return f"WITH transcripts AS ({_T})\n{body}"
+
+
+# ---------------------------------------------------------------- P1
+@register(
+    "rate_sample",
+    _with_t(
+        "SELECT conv_id, turn_idx, role, tool, text FROM transcripts "
+        "WHERE turn_idx % 3 = 0"
+    ),
+)
+def q_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — fixed-stride sampling filter (reference
+    `services/harvest_service.py:156-157`)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    return t.where(F.col("turn_idx") % 3 == 0).select(
+        "conv_id", "turn_idx", "role", "tool", "text"
+    )
+
+
+# ---------------------------------------------------------------- P5+P6
+@register(
+    "exists_forall",
+    _with_t(
+        """
+SELECT conv_id FROM transcripts
+GROUP BY conv_id
+HAVING max(CASE WHEN role='assistant' AND tool IS NOT NULL THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN role='tool' AND tool IS NOT NULL THEN 1 ELSE 0 END) = 1
+   AND min(CASE WHEN role='tool'
+                THEN CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                          THEN 1 ELSE 0 END END) = 1
+"""
+    ),
+)
+def q_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 exists + P6 forall quantifiers composed (reference
+    `projects/helmet/helmet_project.py:43-51`)."""
+    from data_harvesting_spark.operators.predicates import (
+        exists_tool_pair,
+        forall_nonempty_tool_text,
+    )
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return exists_tool_pair(t).join(forall_nonempty_tool_text(t), "conv_id")
+
+
+# ---------------------------------------------------------------- P7
+@register(
+    "exact_count_hist",
+    _with_t(
+        """
+SELECT n_assistant, CAST(count(*) AS BIGINT) AS n_convs
+FROM (
+  SELECT conv_id,
+         CAST(count(CASE WHEN role='assistant' THEN 1 END) AS BIGINT) AS n_assistant
+  FROM transcripts GROUP BY conv_id) t
+GROUP BY n_assistant
+"""
+    ),
+)
+def q_exact_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — exact-count predicate surface (reference
+    `projects/person/person_project.py:35-46`), exposed as the per-count
+    conversation histogram (robust at every sf)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    per_conv = t.groupBy("conv_id").agg(
+        F.count(F.when(F.col("role") == "assistant", 1)).alias("n_assistant")
+    )
+    return per_conv.groupBy("n_assistant").agg(F.count("*").alias("n_convs"))
+
+
+# ---------------------------------------------------------------- P11+P12
+@register(
+    "crop_renumber",
+    _with_t(
+        """
+, spans AS (
+  SELECT conv_id, min(turn_idx) AS lo, max(turn_idx) AS hi
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
+)
+SELECT t.conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx) - 1 AS INT)
+         AS new_turn_idx,
+       t.turn_idx, t.role, t.tool
+FROM transcripts t JOIN spans s ON t.conv_id = s.conv_id
+WHERE t.turn_idx BETWEEN s.lo AND s.hi
+"""
+    ),
+)
+def q_crop_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 crop-to-span + P12 renumbering (reference
+    `condition.py:98-157`)."""
+    from data_harvesting_spark.operators.sessionize import crop_span, renumber
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return renumber(crop_span(t)).select(
+        "conv_id", "new_turn_idx", "turn_idx", "role", "tool"
+    )
+
+
+# ---------------------------------------------------------------- P13/J2
+@register(
+    "label_translate",
+    _with_t(
+        """
+SELECT conv_id, turn_idx, tool,
+       CASE WHEN tool='search' THEN 'web_search'
+            WHEN tool='browser' THEN 'web_browse'
+            WHEN tool='python' THEN 'code_exec'
+            WHEN tool='calculator' THEN 'math_eval'
+            WHEN tool='sql' THEN 'db_query'
+            ELSE tool END AS canonical
+FROM transcripts WHERE tool IS NOT NULL
+"""
+    ),
+)
+def q_label_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — label translation CASE chain (reference
+    `utils/TranslateObject.py:1-23`)."""
+    from data_harvesting_spark.operators.mapping import translate_tool
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return t.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool", translate_tool("tool").alias("canonical")
+    )
+
+
+# ---------------------------------------------------------------- W1 batch
+@register(
+    "sessionize",
+    _with_t(
+        """
+, gapped AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM transcripts
+),
+sess AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+  FROM gapped
+)
+SELECT conv_id, turn_idx, session_id,
+       CAST(min(epoch_us(ts)) OVER (PARTITION BY conv_id, session_id) AS BIGINT)
+         AS window_start_us
+FROM sess
+"""
+    ),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — gap-based batch sessionization (lag+cumsum)."""
+    from data_harvesting_spark.operators.sessionize import sessionize
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return sessionize(t, gap_seconds=1800).select(
+        "conv_id",
+        "turn_idx",
+        "session_id",
+        F.unix_micros("window_start").alias("window_start_us"),
+    )
+
+
+# ---------------------------------------------------------------- W4 tumbling
+@register(
+    "harvest_rates_tool",
+    _with_t(
+        """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+       tool AS key,
+       CAST(count(*) AS BIGINT) AS turn_count,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS conv_distinct
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY 1, 2
+"""
+    ),
+)
+def q_harvest_rates_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — tumbling-window per-tool harvest rates (north_star aggregate).
+    Oracle variant uses exact distinct; scale path uses HLL (rates.py)."""
+    from data_harvesting_spark.operators.rates import harvest_rates
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    r = harvest_rates(t, grain="tool", window="1 hour", exact_distinct=True)
+    return r.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "key",
+        "turn_count",
+        F.col("conv_distinct").cast("bigint").alias("conv_distinct"),
+    )
+
+
+# ---------------------------------------------------------------- W4 sliding
+@register(
+    "harvest_rates_role_sliding",
+    _with_t(
+        """
+, offs AS (SELECT * FROM (VALUES (0), (1)) AS o(i)
+)
+SELECT CAST((floor(epoch(ts) / 1800) - offs.i) * 1800 AS BIGINT) AS window_start_s,
+       role AS key,
+       CAST(count(*) AS BIGINT) AS turn_count
+FROM transcripts CROSS JOIN offs
+GROUP BY 1, 2
+"""
+    ),
+)
+def q_harvest_rates_role_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — sliding-window (1h window / 30min slide) per-role rates."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    return (
+        t.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "role")
+        .agg(F.count("*").alias("turn_count"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            F.col("role").alias("key"),
+            "turn_count",
+        )
+    )
+
+
+# ---------------------------------------------------------------- A4
+@register(
+    "mode_role",
+    _with_t(
+        """
+SELECT conv_id, mode_value, mode_count FROM (
+  SELECT conv_id, role AS mode_value, CAST(count(*) AS BIGINT) AS mode_count,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY count(*) DESC, role ASC) AS rn
+  FROM transcripts GROUP BY conv_id, role) t
+WHERE rn = 1
+"""
+    ),
+)
+def q_mode_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — most-frequent role per conversation (reference
+    `utils/ClassificationObject.py:105-113`)."""
+    from data_harvesting_spark.operators.aggregates import mode_per_conv
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return mode_per_conv(t, "role")
+
+
+# ---------------------------------------------------------------- A5
+@register(
+    "topk_tools",
+    _with_t(
+        """
+SELECT conv_id, key, cnt, rank FROM (
+  SELECT conv_id, tool AS key, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                                 ORDER BY count(*) DESC, tool ASC) AS INT) AS rank
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id, tool) t
+WHERE rank <= 3
+"""
+    ),
+)
+def q_topk_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — top-3 tools per conversation (reference
+    `utils/ClassificationObject.py:235-248`)."""
+    from data_harvesting_spark.operators.aggregates import topk_per_conv
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return topk_per_conv(t, "tool", 3)
+
+
+# ---------------------------------------------------------------- A8
+@register(
+    "inter_turn_latency",
+    _with_t(
+        """
+SELECT conv_id,
+       COALESCE(SUM(gap), 0) AS total_latency_us,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM (
+  SELECT conv_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM transcripts) t
+GROUP BY conv_id
+"""
+    ),
+)
+def q_inter_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — pairwise-lag sum (reference
+    `utils/ClassificationObject.py:168-180`)."""
+    from data_harvesting_spark.operators.aggregates import inter_turn_latency
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return inter_turn_latency(t)
+
+
+# ---------------------------------------------------------------- A9/A10
+@register(
+    "first_last_span",
+    _with_t(
+        """
+SELECT conv_id,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       (max(epoch_us(ts)) - min(epoch_us(ts)) <= 120000000
+        AND count(*) >= 8) AS is_burst
+FROM transcripts GROUP BY conv_id
+"""
+    ),
+)
+def q_first_last_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10 — first/last displacement + threshold classification
+    (reference `utils/ClassificationObject.py:182-205`)."""
+    from data_harvesting_spark.operators.aggregates import first_last_span
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return first_last_span(t)
+
+
+# ---------------------------------------------------------------- A7/W3
+@register(
+    "assemble_conversation",
+    _with_t(
+        """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role, '|' ORDER BY turn_idx) AS role_seq
+FROM transcripts GROUP BY conv_id
+"""
+    ),
+)
+def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W3 — whole-conversation assembly with restored order:
+    sort_array(collect_list(struct(...))) (reference trajectory lists,
+    `utils/ClassificationObject.py:59-67`)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "role"))),
+                lambda s: s["role"],
+            ),
+            "|",
+        ).alias("role_seq"),
+    )
+
+
+# ---------------------------------------------------------------- A13
+@register(
+    "run_report",
+    _with_t(
+        """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(CASE WHEN tool IS NOT NULL THEN 1 END) AS BIGINT) AS n_tool_turns,
+       CAST(count(CASE WHEN role='assistant' THEN 1 END) AS BIGINT) AS n_assistant,
+       CAST(count(CASE WHEN role='user' THEN 1 END) AS BIGINT) AS n_user,
+       min(epoch_us(ts)) AS first_ts_us,
+       max(epoch_us(ts)) AS last_ts_us
+FROM transcripts GROUP BY conv_id
+"""
+    ),
+)
+def q_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — run-report rollup (reference `utils/ReturnObject.py:24-63`).
+    The to_json(struct(...)) column is exercised in unit tests; oracle
+    compares the numeric payload."""
+    from data_harvesting_spark.operators.aggregates import run_report
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return run_report(t).select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        "n_assistant",
+        "n_user",
+        F.unix_micros("first_ts").alias("first_ts_us"),
+        F.unix_micros("last_ts").alias("last_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------- J1+J2
+@register(
+    "multi_enricher_union",
+    _with_t(
+        """
+SELECT conv_id, turn_idx, 0 AS enricher, tool AS label
+FROM transcripts WHERE tool IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, 1 AS enricher,
+       CASE WHEN tool='search' THEN 'web_search'
+            WHEN tool='browser' THEN 'web_browse'
+            WHEN tool='python' THEN 'code_exec'
+            WHEN tool='calculator' THEN 'math_eval'
+            WHEN tool='sql' THEN 'db_query' END AS label
+FROM transcripts
+WHERE tool IN ('search','browser','python','calculator','sql')
+"""
+    ),
+)
+def q_multi_enricher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 multi-model merge + J2 broadcast dimension mapping (reference
+    `condition.py:54-61`, `projects/helmet/helmet_project.py:57-102`)."""
+    from data_harvesting_spark.operators.mapping import (
+        multi_enricher_union,
+        tool_dimension,
+    )
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return multi_enricher_union(t, tool_dimension(spark))
+
+
+# ---------------------------------------------------------------- P10
+_SUPPRESS = 5
+_SUP_CAP = 100
+
+@register(
+    "suppression_sweep",
+    _with_t(
+        f"""
+, q AS (
+  SELECT conv_id, turn_idx FROM transcripts
+  WHERE role='tool' AND tool IS NOT NULL
+),
+sweep AS (
+  WITH RECURSIVE s AS (
+    SELECT conv_id, min(turn_idx) AS kept, 1 AS n FROM q GROUP BY conv_id
+    UNION ALL
+    SELECT s.conv_id,
+           (SELECT min(turn_idx) FROM q
+             WHERE q.conv_id = s.conv_id AND q.turn_idx > s.kept + {_SUPPRESS}),
+           s.n + 1
+    FROM s
+    WHERE s.n < {_SUP_CAP}
+      AND EXISTS (SELECT 1 FROM q
+                   WHERE q.conv_id = s.conv_id AND q.turn_idx > s.kept + {_SUPPRESS})
+  ) SELECT * FROM s
+)
+SELECT conv_id, CAST(kept AS INT) AS turn_idx FROM sweep
+"""
+    ),
+)
+def q_suppression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — greedy emit-then-suppress sweep (reference
+    `services/harvest_service.py:207-208,228-229`): after each kept turn,
+    skip qualifying turns within the next {_SUPPRESS} positions; cap at
+    {_SUP_CAP}. Spark side = applyInPandas sweep; oracle = recursive CTE."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.cap import suppress_and_cap
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    q = t.where((F.col("role") == "tool") & F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx"
+    )
+    cfg = HarvestConfig(
+        max_pairs_per_conv=_SUP_CAP, suppress_turns_after_emit=_SUPPRESS
+    )
+    return suppress_and_cap(q, cfg)
+
+
+# ---------------------------------------------------------------- M5 salting
+@register(
+    "salted_tool_counts",
+    _with_t(
+        """
+SELECT tool, CAST(count(*) AS BIGINT) AS turn_count
+FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+"""
+    ),
+)
+def q_salted_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — two-phase salted aggregation for hot-key skew (north_rule):
+    pre-aggregate on (tool, salt), then merge per tool. Result must equal
+    the plain group-by (the oracle)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    salted = (
+        t.where(F.col("tool").isNotNull())
+        .withColumn("_salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(16)))
+        .groupBy("tool", "_salt")
+        .agg(F.count("*").alias("partial"))
+    )
+    return salted.groupBy("tool").agg(F.sum("partial").alias("turn_count"))

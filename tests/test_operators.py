@@ -1,0 +1,139 @@
+"""Unit tests for the widened operator set (SURVEY §2.2–2.6)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_suppression_degenerates_to_cap(spark, transcripts_df):
+    """suppress=0 sweep == pure window cap (same rows)."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.cap import cap_only, suppress_and_cap
+
+    q = transcripts_df.where(F.col("tool").isNotNull()).select("conv_id", "turn_idx")
+    cfg = HarvestConfig(max_pairs_per_conv=10, suppress_turns_after_emit=0)
+    a = suppress_and_cap(q, cfg).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = cap_only(q, cfg).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_suppression_spacing(spark, transcripts_df):
+    """every two consecutive kept turns are > suppress apart."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.cap import suppress_and_cap
+
+    q = transcripts_df.where(F.col("tool").isNotNull()).select("conv_id", "turn_idx")
+    cfg = HarvestConfig(max_pairs_per_conv=100, suppress_turns_after_emit=3)
+    out = suppress_and_cap(q, cfg).toPandas()
+    for _, grp in out.groupby("conv_id"):
+        idx = sorted(grp["turn_idx"])
+        assert all(b - a > 3 for a, b in zip(idx, idx[1:]))
+
+
+def test_sessionize_gap_split(spark, transcripts_df):
+    """shape 12: a >gap pause splits a conversation into two sessions."""
+    from data_harvesting_spark.operators.sessionize import sessionize
+
+    out = sessionize(transcripts_df, gap_seconds=1800).toPandas()
+    n_sessions = out.groupby("conv_id")["session_id"].nunique()
+    assert n_sessions.max() >= 2  # gap_split recipe exists in the fixture
+    # session ids contiguous from 0
+    assert (out.groupby("conv_id")["session_id"].min() == 0).all()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """LSH ANN finds a decent fraction of true top-5 (recall sanity)."""
+    from data_harvesting_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).toPandas()
+    approx = cosine_topk_lsh(emb, queries, k=5, n_planes=4, n_tables=8).toPandas()
+    truth = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    got = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall={recall}"
+    # every ANN hit is correctly scored: cosine within rounding of exact
+    assert (approx["cosine"] <= 1.000001).all()
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    from data_harvesting_spark.operators.dedup import simhash64
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert fp[1] == fp[2]
+    assert bin((fp[1] ^ fp[3]) & ((1 << 64) - 1)).count("1") > 4
+
+
+def test_minhash_modes_sound_vs_exact_jaccard(spark):
+    """hash_mode only changes candidate generation; every verified pair
+    must be a true ≥-threshold pair (soundness), and both modes must
+    recover most of the exact pair set (recall)."""
+    from data_harvesting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    tset = set(map(tuple, truth[["doc_a", "doc_b"]].values))
+    for mode in ["xxhash64", "rank"]:
+        got = minhash_lsh_pairs(docs, threshold=0.5, hash_mode=mode).toPandas()
+        gset = set(map(tuple, got[["doc_a", "doc_b"]].values))
+        assert gset <= tset, f"{mode}: unsound pairs {gset - tset}"
+        assert len(gset) >= 0.5 * len(tset), f"{mode}: recall too low"
+
+
+def test_approx_distinct_within_5pct(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = e.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_media_features_deterministic(spark):
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    q = spark_queries()["media_features"]
+    a = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("media_id").reset_index(drop=True)
+    b = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_bytes"] > 0).all()
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest
+
+    from data_harvesting_spark.operators.multimodal import frame_sample
+
+    with pytest.raises(NotImplementedError):
+        frame_sample(None)
+
+
+def test_token_count_and_quality(spark):
+    from data_harvesting_spark.functions.text import quality_features, token_count
+
+    df = spark.createDataFrame(
+        [("hello, world! the cat",), ("",), (None,)], "text string"
+    )
+    feats = quality_features(F.col("text"))
+    out = df.select(
+        token_count("text").alias("tok"),
+        feats["n_words"].alias("nw"),
+        feats["stopword_ratio"].alias("sr"),
+    ).collect()
+    assert out[0]["tok"] == 6  # 4 words + 2 puncts
+    assert out[0]["nw"] == 4
+    assert out[0]["sr"] == 0.25  # 'the' of 4 words
+    assert out[1]["tok"] == 0
