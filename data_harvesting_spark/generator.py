@@ -160,25 +160,47 @@ def generate_transcripts(
     return df
 
 
+def write_parquet_us(df: pd.DataFrame, path: str) -> str:
+    """Write parquet with microsecond timestamps (Spark can't read the
+    pandas-default nanosecond INT64 as TimestampType)."""
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and df[c].isna().all():
+            # all-null object columns would be written as parquet NULL
+            # (INT32 physical) which Spark can't read as string
+            df[c] = df[c].astype("string")
+    df.to_parquet(path, index=False)
+    return path
+
+
 def write_transcripts(path: str, n_convs: int = 100, seed: int = 42) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     df = generate_transcripts(n_convs=n_convs, seed=seed)
-    df.to_parquet(path, index=False)
-    return path
+    return write_parquet_us(df, path)
 
 
 def write_batches(dirpath: str, n_convs: int = 100, seed: int = 42, n_batches: int = 8):
     """F5 streaming-replay layout: ordered micro-batch slices.
 
-    Arrival order = generated row order (so late-turn shapes arrive after
-    their conversation's tail, as generated).
+    Arrival order models a real stream: globally (near-)event-time ordered,
+    in-order within each conversation. arrival_ts = running max of ts per
+    conversation, so the deliberately-late shapes (late-turns recipe) still
+    arrive late relative to the global watermark while everything else is
+    in order. Without this, random conversation interleaving makes the
+    advancing watermark drop whole conversations — unrealistic input, not
+    an engine property.
     """
     os.makedirs(dirpath, exist_ok=True)
     df = generate_transcripts(n_convs=n_convs, seed=seed)
+    arrival = df.groupby("conv_id")["ts"].cummax()
+    order = np.lexsort((df["turn_idx"].to_numpy(), arrival.to_numpy()))
+    df = df.iloc[order].reset_index(drop=True)
     slices = np.array_split(np.arange(len(df)), n_batches)
     paths = []
     for i, sl in enumerate(slices):
         p = os.path.join(dirpath, f"batch-{i:03d}.parquet")
-        df.iloc[sl].to_parquet(p, index=False)
+        write_parquet_us(df.iloc[sl], p)
         paths.append(p)
     return paths

@@ -503,3 +503,16 @@ def q_salted_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("partial"))
     )
     return salted.groupBy("tool").agg(F.sum("partial").alias("turn_count"))
+
+
+# ---------------------------------------------------------------- kernel (M4)
+@register("curate_sessions_kernel", None)
+def q_curate_sessions_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized curate via the shared batch/stream kernel (rows-only:
+    stream parity is pinned by tests/test_streaming.py instead of SQL —
+    per-session cap/suppression state is not SQL-expressible)."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return curate_sessions(t, HarvestConfig(session_gap="30 minutes"))

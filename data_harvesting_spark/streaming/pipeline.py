@@ -1,0 +1,168 @@
+"""Streaming job builders — the ``queue_harvesting.py`` analog (E1).
+
+readStream → watermark → stateful correlate → foreachBatch idempotent sink,
+plus the windowed harvest-rate aggregate stream. File-based micro-batch
+source locally; ``format('iceberg')``/Kafka are config swaps on a real
+cluster (same plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.config import HarvestConfig
+from data_harvesting_spark.functions.text import text_hash
+from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+from data_harvesting_spark.streaming.sink import sink_for
+from data_harvesting_spark.streaming.state import correlate_stream
+
+
+def read_transcript_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File micro-batch source over parquet slices (F5 replay layout).
+
+    ``maxFilesPerTrigger=1`` makes each slice one micro-batch —
+    deterministic replay for kill-resume tests. On a cluster this becomes
+    ``spark.readStream.format("iceberg").load(table)`` or Kafka; the rest
+    of the pipeline is unchanged.
+    """
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def curated_stream(stream: DataFrame, cfg: HarvestConfig) -> DataFrame:
+    """transcript stream → curated pairs stream (stateful kernel path)."""
+    with_hash = stream.withColumn("text_hash", text_hash("text"))
+    return correlate_stream(with_hash, cfg)
+
+
+def start_curate_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """Run the end-to-end curate stream into the configured idempotent sink.
+
+    Checkpointing ties source offsets to sink writes: a batch is replayed
+    iff its write may not have committed, and the sink write is idempotent
+    → exactly-once (W7, north_rule). Returns the StreamingQuery.
+    """
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    sink_fn = sink_for(cfg.sink_format)
+    stream = read_transcript_stream(spark, source_dir)
+    curated = curated_stream(stream, cfg)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        sink_fn(df, epoch_id, cfg.sink_path)
+
+    writer = (
+        curated.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_rates_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Per-tool tumbling harvest-rate stream (W4) with watermark-closed
+    append windows; HLL distinct (scale path)."""
+    stream = read_transcript_stream(spark, source_dir)
+    rates = (
+        stream.withWatermark("ts", cfg.watermark_delay)
+        .where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), F.col("tool").alias("key"))
+        .agg(
+            F.count("*").alias("turn_count"),
+            F.approx_count_distinct("conv_id").alias("conv_distinct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.lit("tool").alias("grain"),
+            "key",
+            "turn_count",
+            "conv_distinct",
+        )
+    )
+    writer = (
+        rates.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, epoch: sink_for("epoch")(df, epoch, sink_path)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain(q, idle_seconds: float = 3.0, timeout: float = 180.0) -> None:
+    """Run a ProcessingTime-triggered query until it has consumed all
+    available input AND gone idle (no batch progress) for ``idle_seconds``.
+
+    Needed because event-time timers fire in the no-data micro-batch that
+    runs after the watermark advances — which ``availableNow`` never
+    executes (it stops at the last data batch). A production query runs
+    forever, so timers fire naturally; drain() is the finite-input analog.
+    """
+    import time
+
+    deadline = time.time() + timeout
+    last_batch = None
+    rows_seen = 0
+    idle_since = None
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is None:
+            time.sleep(0.25)
+            continue
+        bid = p["batchId"]
+        if bid != last_batch:
+            rows_seen += p["numInputRows"]
+            last_batch = bid
+            idle_since = None
+        elif rows_seen > 0 and p["numInputRows"] == 0:
+            # data was consumed AND the most recent batch was a no-data
+            # batch (watermark advance / timer flush) — now idle = done
+            idle_since = idle_since or time.time()
+            if time.time() - idle_since >= idle_seconds:
+                break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+
+
+def run_sessionized_stream_to_completion(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+) -> DataFrame:
+    """Convenience: run the curate job until input is exhausted and all
+    event-time timers have fired; return the curated sink as a batch
+    DataFrame."""
+    q = start_curate_job(spark, source_dir, cfg, available_now=False)
+    drain(q)
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    if cfg.sink_format == "epoch":
+        return read_epoch_sink(spark, cfg.sink_path)
+    return spark.read.parquet(cfg.sink_path)

@@ -1,0 +1,109 @@
+"""Exactly-once sinks (S5/S6/W7).
+
+The reference's sink is filesystem writes named by unix seconds — duplicated
+on crash, colliding within 1 s (`exports/yolov8/yolov8_export.py:63-90`,
+`services/harvest_service.py:110-129`). The engine replaces it with
+checkpointed offsets + an idempotent write in ``foreachBatch``:
+
+- ``epoch`` mode (default, no extra jars): each micro-batch writes to its
+  own ``_epoch=N`` directory with overwrite. A replayed batch (failure
+  between write and checkpoint commit) regenerates the SAME rows for the
+  SAME epoch and overwrites the SAME directory → exactly-once end to end.
+  Deterministic batch content is guaranteed by the replayable source +
+  deterministic pipeline (no wall-clock, no rand).
+- ``merge`` mode: keyed upsert emulation (delete-matching + append) on the
+  curated key (conv_id, window_start) — the local stand-in for the
+  production Iceberg ``MERGE INTO``.
+- ``iceberg`` mode: real ``MERGE INTO`` via SQL, gated on the runtime
+  actually having Iceberg on the classpath (not in this container).
+
+A sink-format registry dispatches by name (reference factory pattern,
+`exports/export_factory.py:15-27`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CURATED_KEY = ["conv_id", "window_start"]
+
+
+def write_epoch(df: DataFrame, epoch_id: int, sink_path: str) -> None:
+    """Idempotent per-epoch overwrite + per-partition lineage record."""
+    from data_harvesting_spark.streaming.metrics import record_epoch_lineage
+
+    epoch_dir = os.path.join(sink_path, f"_epoch={epoch_id}")
+    df.withColumn("_epoch", F.lit(epoch_id)).write.mode("overwrite").parquet(
+        epoch_dir
+    )
+    record_epoch_lineage(sink_path, epoch_id, epoch_dir)
+
+
+def read_epoch_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    df = spark.read.option("basePath", sink_path).parquet(
+        os.path.join(sink_path, "_epoch=*")
+    )
+    return df.drop("_epoch")
+
+
+def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
+    """Keyed upsert emulation over parquet (single-writer streaming only).
+
+    Production: MERGE INTO curated USING batch ON conv_id AND window_start
+    WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT.
+    """
+    spark = df.sparkSession
+    batch = df.dropDuplicates(CURATED_KEY + ["example_idx"])
+    if os.path.exists(sink_path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(sink_path) for f in fs
+    ):
+        existing = spark.read.parquet(sink_path)
+        keys = batch.select(*CURATED_KEY).distinct()
+        keep = existing.join(keys, CURATED_KEY, "left_anti")
+        merged = keep.unionByName(batch)
+    else:
+        merged = batch
+    tmp = sink_path.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(sink_path)
+
+
+ICEBERG_MERGE_SQL = """
+MERGE INTO {table} t
+USING batch_updates s
+ON t.conv_id = s.conv_id AND t.window_start = s.window_start
+   AND t.example_idx = s.example_idx
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def write_iceberg_merge(df: DataFrame, epoch_id: int, table: str) -> None:
+    """Real Iceberg MERGE (requires iceberg-spark-runtime on classpath)."""
+    spark = df.sparkSession
+    if "org.apache.iceberg" not in spark.conf.get(
+        "spark.sql.extensions", ""
+    ):
+        raise RuntimeError(
+            "Iceberg extensions not configured; use sink_format='epoch' "
+            "locally or add iceberg-spark-runtime to the cluster classpath"
+        )
+    df.createOrReplaceTempView("batch_updates")
+    spark.sql(ICEBERG_MERGE_SQL.format(table=table))
+
+
+SINKS = {
+    "parquet-merge": write_merge,
+    "epoch": write_epoch,
+    "iceberg": write_iceberg_merge,
+}
+
+
+def sink_for(name: str):
+    if name not in SINKS:
+        raise KeyError(f"unknown sink format {name!r}; known: {sorted(SINKS)}")
+    return SINKS[name]

@@ -1,0 +1,157 @@
+"""Stateful session correlator (J3/P9/P10/W5) — the streaming core.
+
+``applyInPandasWithState`` keyed by ``conv_id`` (reference keyed state:
+`utils/ClassificationObject.py:52-83`, tracker correlation
+`condition.py:22-24`). Design: **buffer-then-emit-on-close**:
+
+- each micro-batch appends the key's new turns to an ArrayType state buffer
+  (RocksDB-backed, spills to disk),
+- the buffer is split into gap-bounded sessions in EVENT time; a session is
+  emitted through the shared kernel (operators/kernel.py) only once the
+  watermark passes ``session_end + gap`` — i.e. no earlier turn can still
+  arrive (within-watermark late turns land in the buffer and sort in),
+- event-time timeout (W5) closes and emits whatever remains when the
+  watermark moves past the conversation, then drops the state.
+
+This gives byte parity with the batch runner by construction (same kernel,
+same gap-splitting), exactly-once when paired with the idempotent sink
+keyed (conv_id, window_start) (sink.py), and bounded state (sessions close
+as the watermark advances; RocksDB absorbs hot conversations).
+
+Spark pre-drops rows later than the watermark (W2/W6); dropped-late counts
+surface via StreamingQueryProgress (metrics.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_harvesting_spark.config import HarvestConfig
+from data_harvesting_spark.operators.curate_sessions import parse_duration_seconds
+from data_harvesting_spark.operators.kernel import curate_session, split_sessions
+from data_harvesting_spark.schema import CURATED_SCHEMA
+
+# state = column-wise session buffer (ArrayType fields, RocksDB-friendly)
+STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idx", ArrayType(IntegerType()), True),
+        StructField("role", ArrayType(StringType()), True),
+        StructField("text", ArrayType(StringType()), True),
+        StructField("tool", ArrayType(StringType()), True),
+        StructField("ts_us", ArrayType(LongType()), True),
+        StructField("text_hash", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _buffer_to_pdf(conv_id: str, state_tuple: tuple) -> pd.DataFrame:
+    turn_idx, role, text, tool, ts_us, text_hash = state_tuple
+    return pd.DataFrame(
+        {
+            "conv_id": np.repeat(conv_id, len(turn_idx)),
+            "turn_idx": pd.array(turn_idx, dtype="int32"),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pd.to_datetime(pd.array(ts_us, dtype="int64"), unit="us"),
+            "text_hash": pd.array(text_hash, dtype="Int64"),  # nullable int: no float roundtrip
+        }
+    )
+
+
+def _pdf_to_buffer(pdf: pd.DataFrame) -> tuple:
+    return (
+        pdf["turn_idx"].astype("int32").tolist(),
+        pdf["role"].tolist(),
+        [None if pd.isna(x) else x for x in pdf["text"]],
+        [None if pd.isna(x) else x for x in pdf["tool"]],
+        (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist(),
+        [None if pd.isna(x) else int(x) for x in pdf["text_hash"]],
+    )
+
+
+def make_correlator(cfg: HarvestConfig):
+    """Build the applyInPandasWithState handler closure."""
+    gap_s = parse_duration_seconds(cfg.session_gap)
+    gap_ms = int(gap_s * 1000)
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+
+        if state.hasTimedOut:
+            buf = _buffer_to_pdf(conv_id, state.get)
+            state.remove()
+            for sess in split_sessions(buf, gap_s):
+                out = curate_session(sess, cfg)
+                if len(out):
+                    yield out
+            return
+
+        new = pd.concat(list(pdfs), ignore_index=True)
+        new = new.rename(columns={"ts": "ts"})
+        new["text_hash"] = new["text_hash"].astype("Int64")
+        if state.exists:
+            buf = pd.concat(
+                [_buffer_to_pdf(conv_id, state.get), new], ignore_index=True
+            )
+        else:
+            buf = new
+
+        sessions = split_sessions(buf, gap_s)
+        wm_ms = state.getCurrentWatermarkMs()
+        keep: list[pd.DataFrame] = []
+        for sess in sessions:
+            end_ms = sess["ts"].max().value // 1_000_000
+            if wm_ms > 0 and end_ms + gap_ms <= wm_ms:
+                out = curate_session(sess, cfg)  # closed: no earlier-than-
+                if len(out):                     # watermark turn can arrive
+                    yield out
+            else:
+                keep.append(sess)
+
+        if keep:
+            remaining = pd.concat(keep, ignore_index=True)
+            state.update(_pdf_to_buffer(remaining))
+            last_ms = remaining["ts"].max().value // 1_000_000
+            # fire once the watermark passes session end + gap
+            state.setTimeoutTimestamp(max(last_ms + gap_ms, wm_ms + 1))
+        else:
+            state.remove()
+
+    return handler
+
+
+def correlate_stream(transcripts_stream, cfg: HarvestConfig):
+    """Wire the stateful correlator onto a watermarked transcript stream.
+
+    transcripts_stream: streaming DataFrame with TRANSCRIPT_SCHEMA columns
+    plus precomputed ``text_hash`` (JVM xxhash64 — keeps hashing out of
+    Python and identical to the batch path).
+    """
+    return (
+        transcripts_stream.withWatermark("ts", cfg.watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_correlator(cfg),
+            outputStructType=CURATED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,194 @@
+"""Streaming semantics: batch/stream parity, exactly-once, kill-resume."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_harvesting_spark.config import HarvestConfig
+from data_harvesting_spark.generator import (
+    generate_transcripts,
+    write_batches,
+    write_parquet_us,
+)
+
+CANON = ["conv_id", "window_start", "example_idx"]
+
+
+def _cfg(tmp: str, **kw) -> HarvestConfig:
+    defaults = dict(
+        session_gap="30 minutes",
+        watermark_delay="10 minutes",
+        sink_format="epoch",
+        sink_path=os.path.join(tmp, "curated"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    defaults.update(kw)
+    return HarvestConfig(**defaults)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(CANON)
+        .reset_index(drop=True)
+        .reindex(sorted(pdf.columns), axis=1)
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_batches(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    paths = write_batches(str(d), n_convs=40, seed=7, n_batches=6)
+    # flush slice: one far-future dummy row pushes the watermark past every
+    # session gap so buffered sessions close deterministically
+    df = generate_transcripts(n_convs=40, seed=7)
+    flush = df.iloc[:1].copy()
+    flush["conv_id"] = "conv-flush"
+    flush["ts"] = df["ts"].max() + pd.Timedelta(hours=6)
+    flush["role"] = "user"
+    flush["tool"] = None
+    p = os.path.join(str(d), "zz-flush.parquet")
+    write_parquet_us(flush, p)
+    return str(d)
+
+
+def _batch_reference(spark, source_dir: str, cfg: HarvestConfig) -> pd.DataFrame:
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    out = curate_sessions(t, cfg).toPandas()
+    return out[out["conv_id"] != "conv-flush"]
+
+
+def test_stream_equals_batch(spark, fixture_batches, tmp_path):
+    """north_star: streaming output == batch output on the same input."""
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    cfg = _cfg(str(tmp_path))
+    got = run_sessionized_stream_to_completion(
+        spark, fixture_batches, cfg
+    ).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _batch_reference(spark, fixture_batches, cfg)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    assert len(got) > 0
+
+
+def test_kill_and_resume_exactly_once(spark, fixture_batches, tmp_path):
+    """Process N batches, stop, resume from checkpoint: final output set
+    identical to the uninterrupted run (W7)."""
+    from data_harvesting_spark.streaming.pipeline import start_curate_job
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+
+    # phase 1: stop after ~half the files
+    q = start_curate_job(spark, fixture_batches, cfg, available_now=False)
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        prog = q.recentProgress
+        done = sum(p["numInputRows"] > 0 for p in prog)
+        if done >= 3:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    # phase 2: resume from the same checkpoint, drain everything
+    from data_harvesting_spark.streaming.pipeline import drain
+
+    q2 = start_curate_job(spark, fixture_batches, cfg, available_now=False)
+    drain(q2)
+
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _batch_reference(spark, fixture_batches, cfg)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_late_beyond_watermark_dropped(spark, tmp_path):
+    """A turn arriving beyond the watermark is dropped (W2/W6); within
+    watermark it sorts into its session."""
+    import numpy as np
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": np.array([0, 1, 2, 3], dtype="int32"),
+            "role": ["user", "assistant", "tool", "assistant"],
+            "text": ["q", "call search x", "result y", "done"],
+            "tool": [None, "search", "search", None],
+            "ts": [base, base + pd.Timedelta(seconds=10),
+                   base + pd.Timedelta(seconds=20),
+                   base + pd.Timedelta(seconds=30)],
+        }
+    )
+    write_parquet_us(rows, str(src / "b0.parquet"))
+    # batch 2: a duplicate-text turn arriving very late (event time far
+    # before watermark) — must NOT resurrect; and a flush row
+    late = pd.DataFrame(
+        {
+            "conv_id": ["c1", "flush"],
+            "turn_idx": np.array([4, 0], dtype="int32"),
+            "role": ["tool", "user"],
+            "text": ["result y", "z"],
+            "tool": ["search", None],
+            "ts": [base - pd.Timedelta(hours=5),
+                   base + pd.Timedelta(hours=12)],
+        }
+    )
+    write_parquet_us(late, str(src / "b1.parquet"))
+
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    cfg = _cfg(str(tmp_path), watermark_delay="10 minutes")
+    out = run_sessionized_stream_to_completion(spark, str(src), cfg).toPandas()
+    out = out[out["conv_id"] == "c1"]
+    # exactly one curated pair; the late far-past turn was dropped, so it
+    # neither formed a second session nor duplicated the response
+    assert len(out) == 1
+    assert out.iloc[0]["call_turn_idx"] == 1
+    assert out.iloc[0]["response_turn_idx"] == 2
+
+
+def test_metrics_and_lineage(spark, fixture_batches, tmp_path):
+    """ProgressLogger captures per-batch metrics; epoch sink records
+    per-partition file lineage."""
+    import json
+
+    from data_harvesting_spark.streaming.metrics import attach_progress_logger
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    listener = attach_progress_logger(spark, metrics_path)
+    try:
+        cfg = _cfg(str(tmp_path))
+        run_sessionized_stream_to_completion(spark, fixture_batches, cfg)
+    finally:
+        spark.streams.removeListener(listener)
+
+    lines = [json.loads(l) for l in open(metrics_path)]
+    progress = [l for l in lines if l["event"] == "progress"]
+    assert len(progress) >= 6  # one per input slice at least
+    assert any(p["numInputRows"] > 0 for p in progress)
+    assert any(p["watermark"] for p in progress)
+
+    lineage = [
+        json.loads(l) for l in open(os.path.join(cfg.sink_path, "_lineage.jsonl"))
+    ]
+    assert {l["epoch_id"] for l in lineage} >= {0, 1, 2}
+    assert any(l["n_files"] > 0 for l in lineage)
