@@ -192,44 +192,74 @@ def generate_scale_input(n_turns: int, out_dir: str = SCALE_DATA) -> str:
     return out_dir
 
 
-def _run_curate_once(master: str, cores: int, data_dir: str) -> dict:
+def _curate_timed(cores: int, data_dir: str) -> float:
+    """One timed curate run at local[cores]; session startup excluded."""
     from data_harvesting_spark.config import HarvestConfig
     from data_harvesting_spark.operators.curate import curate
     from data_harvesting_spark.session import get_spark
 
-    spark = get_spark(f"bench-scale-{cores}", master=master,
-                      shuffle_partitions=cores * 2)
+    spark = get_spark(
+        f"bench-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+        # tmpfs shuffle dir: on a real cluster every node brings its own
+        # shuffle disks, so disk bandwidth scales with executor count; on
+        # this single box a shared disk would be an artificial serial
+        # bottleneck the criterion isn't about
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t = spark.read.parquet(data_dir)
-    n = t.count()  # warm the file listing; not part of the timed job
+    t.count()  # warm file listing + footers; not part of the timed job
     t0 = time.perf_counter()
     _noop_write(curate(t, HarvestConfig()))
     dt = time.perf_counter() - t0
     spark.stop()
-    return {"cores": cores, "sec": round(dt, 2),
-            "turns_per_sec": round(n / dt, 1), "input_turns": n}
+    return dt
 
 
-def run_scaling(n_turns: int) -> dict:
+def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
+    """N vs 4N cores on identical input (north_rule scaling criterion).
+
+    The sandbox VM has bursty hypervisor steal, so the two levels are
+    measured INTERLEAVED round-by-round in one warm JVM (both sample the
+    same noise windows) and the per-level minimum is the steady-state
+    estimate. Round 0 is JIT warmup.
+    """
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    hi_cores = lo_cores * 4
     shutil.rmtree(SCALE_DATA, ignore_errors=True)
     data_dir = generate_scale_input(n_turns)
-    lo = _run_curate_once("local[8]", 8, data_dir)
-    hi = _run_curate_once("local[32]", 32, data_dir)
-    eff = round((lo["sec"] / hi["sec"]) / 4, 3)
+    lo_times: list[float] = []
+    hi_times: list[float] = []
+    for _ in range(rounds):
+        lo_times.append(_curate_timed(lo_cores, data_dir))
+        hi_times.append(_curate_timed(hi_cores, data_dir))
+    lo_sec, hi_sec = min(lo_times), min(hi_times)
+    eff = round((lo_sec / hi_sec) / 4, 3)
     return {
         "metric": "curated_turns_per_sec_scaling",
-        "value": hi["turns_per_sec"],
+        "value": round(n_turns / hi_sec, 1),
         "unit": "turns/sec",
         "n_turns": n_turns,
-        "local8": lo,
-        "local32": hi,
-        "scaling_efficiency_8_to_32": eff,
+        f"local{lo_cores}": {
+            "sec": round(lo_sec, 2),
+            "all_runs_sec": [round(x, 2) for x in lo_times],
+            "turns_per_sec": round(n_turns / lo_sec, 1),
+        },
+        f"local{hi_cores}": {
+            "sec": round(hi_sec, 2),
+            "all_runs_sec": [round(x, 2) for x in hi_times],
+            "turns_per_sec": round(n_turns / hi_sec, 1),
+        },
+        f"scaling_efficiency_{lo_cores}_to_{hi_cores}": eff,
     }
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
-        print(json.dumps(run_scaling(n)))
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000_000
+        lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        print(json.dumps(run_scaling(n, lo_cores=lo)))
     else:
         print(json.dumps(run_headline()))

@@ -16,15 +16,16 @@ Re-expresses the reference's per-frame harvest loop
   6. stable example numbering (W3)
 
 Scale notes (the part that matters at 100 TB):
-  - the as-of join is a *window*, not a pair join — one hash shuffle on
-    ``conv_id`` (plus ``tool`` in the partition key) and a sort; no
-    calls×responses blow-up for hot conversations.
-  - every subsequent window reuses the same ``conv_id``-hashed
-    partitioning, so Catalyst collapses them into a single exchange
-    where possible.
-  - the call-text lookup is an equi self-join on ``(conv_id, turn_idx)``,
-    co-partitioned with the main stream → sort-merge join without an
-    extra exchange under AQE.
+  - the as-of join is a *window*, not a pair join: the running
+    ``max(struct(turn_idx, text, ts))`` over the per-tool window carries the
+    call payload to its response row, so there is no calls×responses
+    blow-up for hot conversations and no self-join back for the call text.
+  - ONE exchange total: the pipeline repartitions by ``conv_id`` up front;
+    every window key is a superset of ``conv_id``, so
+    ``HashPartitioning(conv_id)`` satisfies each window's
+    ClusteredDistribution and Catalyst inserts local sorts, never a second
+    shuffle (verified via ``.explain("formatted")`` in
+    tests/test_curate.py::test_single_exchange_plan).
   - all predicates are Column expressions (whole-stage codegen); the only
     pandas UDF in the family is the optional suppression sweep
     (operators/cap.py) which is inherently sequential per key.
@@ -42,18 +43,24 @@ from data_harvesting_spark.functions.text import normalize_text, text_hash
 def dedup_turns(transcripts: DataFrame) -> DataFrame:
     """A1/A2 — dedup turns by normalized-text hash within a conversation.
 
-    Keep-first-by-turn_idx per (conv_id, norm_text). Null/empty text rows
-    are kept as-is (they carry predicate semantics downstream).
+    Keep-first-by-turn_idx per (conv_id, xxhash64(norm_text)) — the
+    north_star's "batch-level text hashing" dedup: an 8-byte hash key
+    replaces ~100-byte normalized-string comparisons, and a hash aggregate
+    (``min_by`` over a struct) replaces a full sort + row_number, so this
+    stage needs no ordering at all. Null/empty text rows are kept as-is
+    (they carry predicate semantics downstream; all-null hashes group
+    together exactly like SQL ``PARTITION BY``).
     Reference: `condition.py:63-77` greedy near-dup removal; divergence
     (documented in SURVEY §2.4 A1): we fix a deterministic total order.
     """
-    t = transcripts.withColumn("norm_text", normalize_text("text"))
-    w = Window.partitionBy("conv_id", "norm_text").orderBy("turn_idx")
-    return (
-        t.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    t = transcripts.withColumn(
+        "norm_hash", F.xxhash64(normalize_text("text"))
     )
+    payload = [c for c in t.columns if c not in ("conv_id", "norm_hash")]
+    kept = t.groupBy("conv_id", "norm_hash").agg(
+        F.min_by(F.struct(*payload), "turn_idx").alias("_row")
+    )
+    return kept.select("conv_id", *[F.col(f"_row.{c}").alias(c) for c in payload])
 
 
 def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
@@ -62,6 +69,12 @@ def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
     For each response turn (role=cfg.response_role, tool set), find the most
     recent preceding call turn (role=cfg.call_role, same tool) in the same
     conversation; first response per call wins.
+
+    Join-free formulation: the running ``max`` of a ``struct(turn_idx, text,
+    ts)`` over the per-tool window IS the as-of lookup (struct comparison
+    orders by ``turn_idx`` first), so the call's payload rides along and the
+    old equi self-join back to the call row — a second scan + shuffle of the
+    whole input — disappears from the plan.
     """
     is_call = (F.col("role") == cfg.call_role) & F.col("tool").isNotNull()
     is_resp = (F.col("role") == cfg.response_role) & F.col("tool").isNotNull()
@@ -72,27 +85,20 @@ def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tagged = deduped.withColumn(
-        "prev_call_idx", F.max(F.when(is_call, F.col("turn_idx"))).over(w_tool)
+        "prev_call",
+        F.max(F.when(is_call, F.struct("turn_idx", "text", "ts"))).over(w_tool),
     )
 
-    resps = tagged.where(is_resp & F.col("prev_call_idx").isNotNull()).select(
+    pairs = tagged.where(is_resp & F.col("prev_call").isNotNull()).select(
         "conv_id",
-        F.col("prev_call_idx").alias("call_turn_idx"),
+        F.col("prev_call.turn_idx").alias("call_turn_idx"),
         F.col("turn_idx").alias("response_turn_idx"),
         "tool",
         F.col("text").alias("response_text"),
-        F.col("norm_text").alias("response_norm"),
         F.col("ts").alias("response_ts"),
+        F.col("prev_call.text").alias("call_text"),
+        F.col("prev_call.ts").alias("call_ts"),
     )
-
-    calls = deduped.where(is_call).select(
-        "conv_id",
-        F.col("turn_idx").alias("call_turn_idx"),
-        F.col("text").alias("call_text"),
-        F.col("ts").alias("call_ts"),
-    )
-    # co-partitioned equi-join on (conv_id, call_turn_idx)
-    pairs = resps.join(calls, ["conv_id", "call_turn_idx"], "inner")
 
     w_first = Window.partitionBy("conv_id", "call_turn_idx").orderBy(
         "response_turn_idx"
@@ -141,6 +147,10 @@ def curate(transcripts: DataFrame, cfg: HarvestConfig | None = None) -> DataFram
         transcripts = transcripts.where(
             F.col("turn_idx") % cfg.sample_stride == 0
         )
+    # ONE exchange for the whole pipeline: every window below partitions by
+    # a superset of conv_id, so HashPartitioning(conv_id) satisfies each
+    # ClusteredDistribution and Catalyst inserts sorts, not reshuffles.
+    transcripts = transcripts.repartition(F.col("conv_id"))
     deduped = dedup_turns(transcripts)
     pairs = correlate_pairs(deduped, cfg)
     pairs = apply_condition(pairs)

@@ -88,6 +88,29 @@ def test_oracle_parity(spark, name):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_single_exchange_plan(spark, transcripts_df):
+    """Pin the scale-critical plan shape: ONE shuffle, ZERO joins.
+
+    The pipeline repartitions once on conv_id; every window key is a
+    superset of conv_id, so HashPartitioning(conv_id) satisfies each
+    window's ClusteredDistribution — any regression that reintroduces an
+    exchange or a join is a scale bug (see BENCH.md).
+    """
+    import re
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate
+
+    plan = (
+        curate(transcripts_df, HarvestConfig())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bExchange ", plan)) == 1, plan
+    assert not re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
