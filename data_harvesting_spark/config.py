@@ -56,3 +56,34 @@ class HarvestConfig:
     state_timeout: str = "EventTimeTimeout"
 
     extra: dict = field(default_factory=dict, hash=False, compare=False)
+
+
+class ConfigError(ValueError):
+    """Raised when a pipeline is built from an inconsistent config."""
+
+
+def validate_config(cfg: HarvestConfig) -> HarvestConfig:
+    """J4 — registration-integrity analog: the reference asserts each
+    registered module's name matches the env config before running
+    (`/root/reference/services/harvest_service.py:63-82`); here the build
+    step asserts the config is self-consistent before a plan is built.
+    """
+    from data_harvesting_spark.streaming.sink import SINKS
+
+    if cfg.max_pairs_per_conv < 0:
+        raise ConfigError("max_pairs_per_conv must be >= 0 (0 = uncapped)")
+    if cfg.sample_stride < 1:
+        raise ConfigError("sample_stride must be >= 1")
+    if cfg.call_role == cfg.response_role:
+        raise ConfigError("call_role and response_role must differ")
+    if cfg.allowed_roles and not (
+        {cfg.call_role, cfg.response_role} <= set(cfg.allowed_roles)
+    ):
+        raise ConfigError(
+            "allowed_roles excludes the correlation roles: nothing could emit"
+        )
+    if cfg.sink_format and cfg.sink_format not in SINKS:
+        raise ConfigError(
+            f"unknown sink_format {cfg.sink_format!r}; registered: {sorted(SINKS)}"
+        )
+    return cfg

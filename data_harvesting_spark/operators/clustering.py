@@ -1,0 +1,88 @@
+"""A12 — per-group KMeans aggregate (the "expensive vectorized enrichment"
+slot).
+
+Reference: elbow-method KMeans over an object's pixels produces dominant
+color centroids (`/root/reference/utils/ColorDetector.py:93-119,203-232`,
+params `utils/VariableClass.py:56-63`). Graft analog: dominant embedding
+centroids per group — KMeans over each group's vectors via
+``applyInPandas`` (one Arrow batch per group, numpy-vectorized Lloyd's
+iterations; no sklearn in this container, and the kernel is ~20 lines).
+
+Scale notes: ``applyInPandas`` shuffles once on the group key; each group's
+vectors must fit one executor's memory — callers with giant groups should
+pre-sample per group (``rate_sample``-style) before clustering, which is
+the reference's own shape (it clusters one object's cropped pixels, not
+the full frame). Deterministic: fixed seed per group derived from the
+group key, fixed iteration count (no data-dependent convergence test), so
+resume/replay produce identical centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = (
+    "group_key string, cluster_id int, n_members long, centroid array<double>, "
+    "inertia double"
+)
+
+
+def _kmeans_numpy(x: np.ndarray, k: int, seed: int, n_iter: int = 20):
+    """Plain Lloyd's: deterministic init (evenly-spaced by norm order),
+    fixed iterations. Returns (labels, centroids, inertia)."""
+    n = len(x)
+    k = min(k, n)
+    order = np.argsort(np.linalg.norm(x, axis=1), kind="stable")
+    centroids = x[order[np.linspace(0, n - 1, k).astype(int)]].copy()
+    labels = np.zeros(n, dtype=int)
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for j in range(k):
+            m = labels == j
+            if m.any():
+                centroids[j] = x[m].mean(axis=0)
+    inertia = float(((x - centroids[labels]) ** 2).sum())
+    return labels, centroids, inertia
+
+
+def cluster_groups(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group KMeans: one row per (group, cluster) with centroid +
+    member count + total inertia — the A4/A5 "dominant mode" shape over
+    continuous vectors."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = str(pdf[group_col].iloc[0])
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        labels, centroids, inertia = _kmeans_numpy(x, k, seed)
+        rows = []
+        for j in range(len(centroids)):
+            m = labels == j
+            if not m.any():
+                continue
+            rows.append(
+                {
+                    "group_key": key,
+                    "cluster_id": j,
+                    "n_members": int(m.sum()),
+                    "centroid": centroids[j].tolist(),
+                    "inertia": inertia,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        df.select(F.col(group_col), F.col(vec_col))
+        .groupBy(group_col)
+        .applyInPandas(fit, schema=_OUT_SCHEMA)
+    )

@@ -328,3 +328,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.current_timestamp().alias("ts"),
     )
     return extract_features(media)
+
+
+_TOKENS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_counts", _TOKENS_SQL)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data pipeline op): whitespace tokens plus a
+    BPE-ish regex piece count (letter runs / digit runs / single
+    non-alnum) — all JVM-side expressions, no Python in the hot path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@register("embedding_clusters", None)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — per-group KMeans over embeddings (applyInPandas, numpy
+    Lloyd's; rows-only: iterative ML is not ANSI-SQL-expressible).
+    Groups = embedding label buckets; deterministic seed/init."""
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").cast("string").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return cluster_groups(emb, "grp", "v", k=3)

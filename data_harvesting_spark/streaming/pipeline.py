@@ -55,6 +55,9 @@ def start_curate_job(
     iff its write may not have committed, and the sink write is idempotent
     → exactly-once (W7, north_rule). Returns the StreamingQuery.
     """
+    from data_harvesting_spark.config import validate_config
+
+    validate_config(cfg)  # J4 registration-integrity analog
     assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
     os.makedirs(cfg.sink_path, exist_ok=True)
     sink_fn = sink_for(cfg.sink_format)

@@ -137,3 +137,77 @@ def test_token_count_and_quality(spark):
     assert out[0]["nw"] == 4
     assert out[0]["sr"] == 0.25  # 'the' of 4 words
     assert out[1]["tok"] == 0
+
+
+def test_cluster_groups_deterministic(spark):
+    """A12: per-group KMeans — fixed seed/init ⇒ identical centroids on
+    replay; members partition the group; k respected."""
+    import numpy as np
+    import pandas as pd
+
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a"] * 30 + ["b"] * 20,
+            "v": [list(map(float, rng.normal(i % 3, 0.1, 4))) for i in range(30)]
+            + [list(map(float, rng.normal(10, 0.1, 4))) for _ in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out1 = cluster_groups(df, "grp", "v", k=3).toPandas()
+    out2 = cluster_groups(df.repartition(5), "grp", "v", k=3).toPandas()
+    key = ["group_key", "cluster_id"]
+    pd.testing.assert_frame_equal(
+        out1.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True),
+    )
+    per_grp = out1.groupby("group_key")["n_members"].sum()
+    assert per_grp["a"] == 30 and per_grp["b"] == 20
+    assert (out1.groupby("group_key").size() <= 3).all()
+
+
+def test_validate_config_rejects_inconsistent():
+    """J4: registration-integrity analog — bad configs fail at build."""
+    import pytest as _pytest
+
+    from data_harvesting_spark.config import (
+        ConfigError,
+        HarvestConfig,
+        validate_config,
+    )
+
+    validate_config(HarvestConfig())  # defaults are consistent
+    with _pytest.raises(ConfigError):
+        validate_config(HarvestConfig(call_role="tool", response_role="tool"))
+    with _pytest.raises(ConfigError):
+        validate_config(HarvestConfig(allowed_roles=("user",)))
+    with _pytest.raises(ConfigError):
+        validate_config(HarvestConfig(sink_format="nope"))
+    with _pytest.raises(ConfigError):
+        validate_config(HarvestConfig(sample_stride=0))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2: role/tool filters and column pruning reach the parquet scan —
+    `PushedFilters` non-empty and ReadSchema pruned to selected columns."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("event_type").isin("click", "view"))
+        .where(F.col("value") > 10)
+        .select("event_id", "event_type", "value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan or "IsNotNull(event_type)" in plan
+    assert "GreaterThan(value" in plan
+    # pruned: props/user_id/ts not read
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "event_id:bigint", "event_type:string", "value:double"
+    }, plan
