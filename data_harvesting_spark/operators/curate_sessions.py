@@ -15,8 +15,8 @@ from data_harvesting_spark.config import HarvestConfig
 from data_harvesting_spark.functions.text import text_hash
 from data_harvesting_spark.operators.kernel import (
     _EMPTY,
-    curate_session,
-    split_sessions,
+    curate_sessions_frame,
+    session_id_array,
 )
 from data_harvesting_spark.schema import CURATED_SCHEMA
 
@@ -41,7 +41,9 @@ def curate_sessions(transcripts: DataFrame, cfg: HarvestConfig | None = None) ->
     t = transcripts.withColumn("text_hash", text_hash("text"))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [curate_session(s, cfg) for s in split_sessions(pdf, gap_s)]
-        return pd.concat(outs, ignore_index=True) if outs else _EMPTY.copy()
+        if len(pdf) == 0:
+            return _EMPTY.copy()
+        pdf, sids = session_id_array(pdf, gap_s)
+        return curate_sessions_frame(pdf, sids, cfg)
 
     return t.groupBy("conv_id").applyInPandas(fn, CURATED_SCHEMA)

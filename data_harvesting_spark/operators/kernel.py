@@ -49,11 +49,31 @@ _EMPTY = pd.DataFrame(
 def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
     """Curate ONE session's turns → curated call/response pairs.
 
+    Thin wrapper over the vectorized multi-session kernel (single session
+    id) — used by the streaming state handler, which emits one closed
+    session at a time.
+    """
+    if len(pdf) == 0:
+        return _EMPTY.copy()
+    return curate_sessions_frame(
+        pdf, np.zeros(len(pdf), dtype=np.int64), cfg
+    )
+
+
+def curate_sessions_frame(
+    pdf: pd.DataFrame, session_ids: np.ndarray, cfg: HarvestConfig
+) -> pd.DataFrame:
+    """Vectorized curate over ALL of one conversation's sessions at once.
+
+    ``session_ids`` aligns positionally with ``pdf``. One pandas pass for
+    the whole conversation instead of a Python loop per session — the
+    per-group Python overhead is per-conversation, not per-session.
+
     Expects columns KERNEL_INPUT_COLS; any extra columns are ignored.
     Semantics (identical to operators/curate.py's declarative pipeline,
-    scoped to the session):
-      1. stable order (turn_idx)
-      2. dedup turns by text_hash, keep first
+    scoped per session):
+      1. stable order (session, turn_idx)
+      2. dedup turns by text_hash within session, keep first
       3. response pairs with most recent preceding call of same tool
       4. first response per call wins
       5. both texts non-empty
@@ -61,13 +81,16 @@ def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
     """
     if len(pdf) == 0:
         return _EMPTY.copy()
-    pdf = pdf.sort_values("turn_idx", kind="mergesort")
-    window_start = pdf["ts"].min()
+    pdf = pdf.assign(_sid=session_ids).sort_values(
+        ["_sid", "turn_idx"], kind="mergesort"
+    )
     conv_id = pdf["conv_id"].iloc[0]
+    win_start = pdf.groupby("_sid")["ts"].transform("min")
+    pdf = pdf.assign(_ws=win_start)
 
-    # 2. dedup (NaN hashes — null text — group together, matching SQL
-    # PARTITION BY null-grouping semantics)
-    pdf = pdf[~pdf["text_hash"].duplicated(keep="first")]
+    # 2. dedup within session (NaN hashes — null text — group together,
+    # matching SQL PARTITION BY null-grouping semantics)
+    pdf = pdf[~pdf.duplicated(subset=["_sid", "text_hash"], keep="first")]
 
     is_call = (pdf["role"] == cfg.call_role) & pdf["tool"].notna()
     is_resp = (pdf["role"] == cfg.response_role) & pdf["tool"].notna()
@@ -76,20 +99,18 @@ def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
     if len(calls) == 0 or len(resps) == 0:
         return _EMPTY.copy()
 
-    # 3. as-of: most recent preceding call of same tool
+    # 3. as-of per (session, tool): most recent preceding call
     merged = pd.merge_asof(
-        resps[["turn_idx", "tool", "text", "text_hash"]].rename(
-            columns={"turn_idx": "response_turn_idx", "text": "response_text"}
-        ).sort_values("response_turn_idx").assign(
-            _on=lambda d: d["response_turn_idx"].astype("int64")
-        ),
-        calls[["turn_idx", "tool", "text"]].rename(
-            columns={"turn_idx": "call_turn_idx", "text": "call_text"}
-        ).sort_values("call_turn_idx").assign(
-            _on=lambda d: d["call_turn_idx"].astype("int64")
-        ),
+        resps[["_sid", "_ws", "turn_idx", "tool", "text", "text_hash"]]
+        .rename(columns={"turn_idx": "response_turn_idx", "text": "response_text"})
+        .sort_values("response_turn_idx", kind="mergesort")
+        .assign(_on=lambda d: d["response_turn_idx"].astype("int64")),
+        calls[["_sid", "turn_idx", "tool", "text"]]
+        .rename(columns={"turn_idx": "call_turn_idx", "text": "call_text"})
+        .sort_values("call_turn_idx", kind="mergesort")
+        .assign(_on=lambda d: d["call_turn_idx"].astype("int64")),
         on="_on",
-        by="tool",
+        by=["_sid", "tool"],
         direction="backward",
         allow_exact_matches=False,
     ).drop(columns="_on")
@@ -97,9 +118,9 @@ def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
     if len(merged) == 0:
         return _EMPTY.copy()
 
-    # 4. first response per call
+    # 4. first response per call (per session)
     merged = merged.sort_values("response_turn_idx", kind="mergesort")
-    merged = merged.drop_duplicates(subset=["call_turn_idx"], keep="first")
+    merged = merged.drop_duplicates(subset=["_sid", "call_turn_idx"], keep="first")
 
     # 5. condition: both sides non-empty
     ok = (
@@ -112,33 +133,45 @@ def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
 
     # order by call for numbering/cap (matches curate.py window order)
     merged = merged.sort_values(
-        ["call_turn_idx", "response_turn_idx"], kind="mergesort"
+        ["_sid", "call_turn_idx", "response_turn_idx"], kind="mergesort"
     )
 
-    # 6a. suppression sweep (response-turn spacing), bounded by cap
+    # 6a. suppression sweep (response-turn spacing), bounded by cap —
+    # inherently sequential per session (reference
+    # services/harvest_service.py:207-231); loop only on this config path
     if cfg.suppress_turns_after_emit > 0:
         keep_rows = []
-        suppress_until = -1
-        for row in merged.itertuples(index=True):
-            if row.response_turn_idx <= suppress_until:
+        cur_sid, suppress_until, emitted = None, -1, 0
+        for idx, sid, resp_idx in zip(
+            merged.index,
+            merged["_sid"].to_numpy(),
+            merged["response_turn_idx"].to_numpy(),
+        ):
+            if sid != cur_sid:
+                cur_sid, suppress_until, emitted = sid, -1, 0
+            if resp_idx <= suppress_until:
                 continue
-            keep_rows.append(row.Index)
-            suppress_until = row.response_turn_idx + cfg.suppress_turns_after_emit
-            if cfg.max_pairs_per_conv and len(keep_rows) >= cfg.max_pairs_per_conv:
-                break
+            if cfg.max_pairs_per_conv and emitted >= cfg.max_pairs_per_conv:
+                continue
+            keep_rows.append(idx)
+            emitted += 1
+            suppress_until = resp_idx + cfg.suppress_turns_after_emit
         merged = merged.loc[keep_rows]
     elif cfg.max_pairs_per_conv:
-        merged = merged.head(cfg.max_pairs_per_conv)
+        merged = merged.groupby("_sid").head(cfg.max_pairs_per_conv)
 
-    if cfg.min_pairs_per_conv > 1 and len(merged) < cfg.min_pairs_per_conv:
-        return _EMPTY.copy()
+    if cfg.min_pairs_per_conv > 1:
+        sizes = merged.groupby("_sid")["_sid"].transform("size")
+        merged = merged[sizes >= cfg.min_pairs_per_conv]
 
     n = len(merged)
+    if n == 0:
+        return _EMPTY.copy()
     return pd.DataFrame(
         {
             "conv_id": np.repeat(conv_id, n),
-            "window_start": np.repeat(window_start, n),
-            "example_idx": np.arange(n, dtype="int32"),
+            "window_start": merged["_ws"].to_numpy(),
+            "example_idx": merged.groupby("_sid").cumcount().to_numpy("int32"),
             "call_turn_idx": merged["call_turn_idx"].astype("int32").to_numpy(),
             "response_turn_idx": merged["response_turn_idx"].astype("int32").to_numpy(),
             "tool": merged["tool"].to_numpy(),
@@ -149,13 +182,23 @@ def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
     )
 
 
-def split_sessions(pdf: pd.DataFrame, gap_seconds: float) -> list[pd.DataFrame]:
-    """Split one conversation's turns into gap-bounded sessions by event
-    time (sorted by ts, ties by turn_idx)."""
-    if len(pdf) == 0:
-        return []
+def session_id_array(
+    pdf: pd.DataFrame, gap_seconds: float
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Gap-based session assignment for one conversation: returns
+    (ts-sorted frame, aligned session-id array). Vectorized cumsum over
+    event-time gaps — no per-session Python."""
     pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
     ts = pdf["ts"].to_numpy()
     gaps = np.diff(ts) > np.timedelta64(int(gap_seconds * 1_000_000), "us")
-    session_ids = np.concatenate([[0], np.cumsum(gaps)])
+    return pdf, np.concatenate([[0], np.cumsum(gaps)])
+
+
+def split_sessions(pdf: pd.DataFrame, gap_seconds: float) -> list[pd.DataFrame]:
+    """Split one conversation's turns into gap-bounded sessions by event
+    time (sorted by ts, ties by turn_idx). Used by the streaming state
+    handler to detect which buffered sessions the watermark has closed."""
+    if len(pdf) == 0:
+        return []
+    pdf, session_ids = session_id_array(pdf, gap_seconds)
     return [pdf[session_ids == s] for s in range(session_ids[-1] + 1)]
