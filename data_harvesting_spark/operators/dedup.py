@@ -171,9 +171,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(documents, n, threshold)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify ONLY bucketed candidates (work ∝ candidates, never O(n²) —
+    # the whole point of LSH): intersection size via two candidate-side
+    # equi-joins against the shingle set, then exact Jaccard.
+    sh = word_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
