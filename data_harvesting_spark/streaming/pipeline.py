@@ -87,7 +87,16 @@ def start_rates_job(
     available_now: bool = True,
 ):
     """Per-tool tumbling harvest-rate stream (W4) with watermark-closed
-    append windows; HLL distinct (scale path)."""
+    append windows; HLL distinct (scale path).
+
+    Watermark-vs-pushdown gotcha (pinned by
+    tests/test_streaming.py::test_rates_stream_equals_batch): the
+    ``tool IS NOT NULL`` filter is pushed to the parquet scan, so a file
+    whose rows are ALL filtered out (row-group stats) is skipped before
+    the EventTimeWatermark operator ever sees its event times — such rows
+    advance no watermark. Operationally: watermark-driving heartbeat rows
+    must carry values that survive the job's pushed filters.
+    """
     stream = read_transcript_stream(spark, source_dir)
     rates = (
         stream.withWatermark("ts", cfg.watermark_delay)

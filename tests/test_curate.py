@@ -117,3 +117,62 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) >= {"conv_id", "example_idx", "call_text"}
+
+
+def test_kernel_equals_declarative_curate(spark, transcripts_df):
+    """Cross-validation: the pandas session kernel (curate_sessions with an
+    effectively-infinite gap → one session per conversation) and the
+    declarative Catalyst pipeline (curate) are independent implementations
+    of the same semantics — they must emit identical pair sets."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+
+    cfg = HarvestConfig(session_gap="9000 hours")
+    cols = ["conv_id", "example_idx", "call_turn_idx", "response_turn_idx",
+            "tool", "call_text", "response_text"]
+    a = _canon(curate(transcripts_df, cfg).toPandas()[cols])
+    b = _canon(curate_sessions(transcripts_df, cfg).toPandas()[cols])
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hot_conversation_skew_correctness(spark):
+    """north_rule skew posture: one conversation carrying ~50k turns (vs
+    1k conversations of 20) runs through the flagship plan and produces
+    the exact capped output — the hot key must not break or mis-cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate
+
+    base = (
+        spark.range(0, 70_000, 1, 8)
+        .withColumn(
+            "conv_id",
+            F.when(F.col("id") < 50_000, F.lit("conv-hot")).otherwise(
+                F.concat(F.lit("conv-"), (F.col("id") % 1000))
+            ),
+        )
+        .withColumn(
+            "turn_idx",
+            F.row_number().over(Window.partitionBy("conv_id").orderBy("id"))
+            .cast("int") - 1,
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("turn_idx") % 2 == 0, "assistant").otherwise("tool"),
+        )
+        .withColumn("tool", F.lit("search"))
+        .withColumn("text", F.concat(F.lit("t"), F.col("id")))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1767225600) + F.col("turn_idx")))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    out = curate(base, HarvestConfig()).toPandas()
+    hot = out[out["conv_id"] == "conv-hot"]
+    # alternating call/response with unique texts → a pair per call turn,
+    # capped at 100, densely numbered
+    assert len(hot) == 100
+    assert sorted(hot["example_idx"]) == list(range(100))
+    # non-hot conversations also emit (9 pairs each for 20 turns) — spot check
+    assert (out[out["conv_id"] != "conv-hot"].groupby("conv_id").size() > 0).any()

@@ -48,7 +48,12 @@ def fixture_batches(tmp_path_factory):
     flush["conv_id"] = "conv-flush"
     flush["ts"] = df["ts"].max() + pd.Timedelta(hours=6)
     flush["role"] = "user"
-    flush["tool"] = None
+    # non-null tool: a watermark-driving row must survive scan-level
+    # predicate pushdown — an all-null `tool` file is skipped entirely by
+    # the rates job's IsNotNull(tool) row-group filter, so its event time
+    # would never reach the watermark operator and the last windows would
+    # never close (see start_rates_job docstring)
+    flush["tool"] = "flush"
     p = os.path.join(str(d), "zz-flush.parquet")
     write_parquet_us(flush, p)
     return str(d)
@@ -192,3 +197,53 @@ def test_metrics_and_lineage(spark, fixture_batches, tmp_path):
     ]
     assert {l["epoch_id"] for l in lineage} >= {0, 1, 2}
     assert any(l["n_files"] > 0 for l in lineage)
+
+
+def test_rates_stream_equals_batch(spark, fixture_batches, tmp_path):
+    """W4: the windowed harvest-rate stream (watermark-closed append
+    windows) emits exactly the batch groupBy(window, tool) aggregate once
+    input is exhausted and all windows have closed."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import drain, start_rates_job
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    sink = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "rates_ckpt")
+    q = start_rates_job(
+        spark, fixture_batches, cfg, sink, ckpt, window="1 hour",
+        available_now=False,
+    )
+    drain(q)
+    got = read_epoch_sink(spark, sink).toPandas()
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    want = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("tool").alias("key"))
+        .agg(
+            F.count("*").alias("turn_count"),
+            F.approx_count_distinct("conv_id").alias("conv_distinct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.lit("tool").alias("grain"),
+            "key", "turn_count", "conv_distinct",
+        )
+        .toPandas()
+    )
+    # the flush heartbeat's own window can never close (nothing later
+    # advances the watermark past it) — excluded on both sides
+    got = got[got["key"] != "flush"]
+    want = want[want["key"] != "flush"]
+    key = ["window_start", "key"]
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(key).reset_index(drop=True)
+    want = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
