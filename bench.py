@@ -125,8 +125,14 @@ def generate_scale_input(n_turns: int, out_dir: str = SCALE_DATA) -> str:
 
     from data_harvesting_spark.session import get_spark
 
+    marker = os.path.join(out_dir, "_N_TURNS")
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        return out_dir  # already generated (same n is enforced by caller wipe)
+        try:
+            if int(open(marker).read()) == n_turns:
+                return out_dir
+        except (OSError, ValueError):
+            pass
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale: different n
     spark = get_spark("bench-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     turns_per_conv = 40
@@ -188,6 +194,8 @@ def generate_scale_input(n_turns: int, out_dir: str = SCALE_DATA) -> str:
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )
     df.write.mode("overwrite").parquet(out_dir)
+    with open(marker, "w") as f:
+        f.write(str(n_turns))
     spark.stop()
     return out_dir
 
@@ -256,10 +264,76 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
     }
 
 
+def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
+    """End-to-end STREAMING curated-turns/sec (BASELINE.json metric shape):
+    generated transcript slices → checkpointed stateful correlator →
+    idempotent epoch sink, run to completion with availableNow."""
+    import tempfile
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    data_dir = generate_scale_input(n_turns)
+    # re-slice into n_slices files so the run is a multi-batch stream
+    spark = get_spark(f"bench-stream-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
+    spark.sparkContext.setLogLevel("ERROR")
+    # slices must be (roughly) event-time ordered or the advancing
+    # watermark would drop later slices' rows as late — range-partition by
+    # ts and force listing order via modtimes
+    src = tempfile.mkdtemp(prefix="dhs_stream_src_")
+    spark.read.parquet(data_dir).repartitionByRange(n_slices, "ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    import glob as _glob
+
+    now = time.time()
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(p, (now + i, now + i))
+
+    from data_harvesting_spark.streaming.pipeline import start_curate_job
+
+    work = tempfile.mkdtemp(prefix="dhs_stream_run_")
+    cfg = HarvestConfig(
+        session_gap="30 minutes",
+        watermark_delay="10 minutes",
+        sink_format="epoch",
+        sink_path=os.path.join(work, "curated"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    t0 = time.perf_counter()
+    q = start_curate_job(spark, src, cfg, available_now=True)
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    n_out = read_epoch_sink(spark, cfg.sink_path).count()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    spark.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "metric": "streaming_curated_turns_per_sec",
+        "value": round(n_turns / dt, 1),
+        "unit": "turns/sec",
+        "n_turns": n_turns,
+        "cores": cores,
+        "sec": round(dt, 2),
+        "curated_rows": n_out,
+        "data_batches": n_batches,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000_000
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         print(json.dumps(run_scaling(n, lo_cores=lo)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+        cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        print(json.dumps(run_streaming(n, cores)))
     else:
         print(json.dumps(run_headline()))

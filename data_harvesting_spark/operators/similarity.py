@@ -214,3 +214,102 @@ def embedding_near_dup(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------- IVF
+
+
+def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: nprobe nearest centroid ids per vector (one numpy
+    matmul per Arrow batch against the broadcast centroid matrix)."""
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ centroids.T  # (batch, n_cells)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return probe
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer: KMeans over a (seeded) sample, driver-side.
+
+    The trained object is tiny (n_cells × dim floats) and broadcast; at
+    100 TB the sample is a bounded `sample(fraction)` scan, the train cost
+    is independent of corpus size.
+    """
+    from data_harvesting_spark.operators.clustering import _kmeans_numpy
+
+    s = embeddings.select(vec_col)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    x = np.stack(s.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    _, centroids, _ = _kmeans_numpy(x, n_cells, seed)
+    norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids / norms
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
+    (inverted file); each query probes its nprobe nearest cells and exact-
+    reranks only those cells' vectors.
+
+    Work per query ∝ nprobe/n_cells of the corpus instead of all of it;
+    the cell equi-join shuffles on a low-cardinality int key, so cells are
+    the partition-pruning unit (on a real table: PARTITIONED BY (cell)).
+    """
+    from pyspark.sql import Window
+
+    centroids = train_ivf_centroids(
+        embeddings, n_cells, sample_fraction, seed, vec_col
+    )
+    assign1 = _assign_cells_udf(centroids, 1)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    probe = _assign_cells_udf(centroids, nprobe)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = corpus.join(F.broadcast(qs), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>"))
+        / (
+            _norm(F.col("qvec").cast("array<double>"))
+            * _norm(F.col("cvec").cast("array<double>"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )

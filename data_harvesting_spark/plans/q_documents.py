@@ -371,3 +371,14 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     return cluster_groups(emb, "grp", "v", k=3)
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (coarse KMeans quantizer + nprobe cell search;
+    rows-only — recall vs brute force unit-tested)."""
+    from data_harvesting_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=4)

@@ -211,3 +211,26 @@ def test_filter_pushdown_reaches_scan(spark):
     assert m and set(m.group(1).split(",")) <= {
         "event_id:bigint", "event_type:string", "value:double"
     }, plan
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN recall sanity vs exact brute force (nprobe=4 of 16 cells)."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall={recall}"
