@@ -264,7 +264,9 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
     }
 
 
-def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
+def run_streaming(
+    n_turns: int, cores: int = 32, n_slices: int = 8, mode: str = "kernel"
+) -> dict:
     """End-to-end STREAMING curated-turns/sec (BASELINE.json metric shape):
     generated transcript slices → checkpointed stateful correlator →
     idempotent epoch sink, run to completion with availableNow."""
@@ -275,9 +277,11 @@ def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     data_dir = generate_scale_input(n_turns)
-    # re-slice into n_slices files so the run is a multi-batch stream
+    # re-slice into n_slices files so the run is a multi-batch stream.
+    # shuffle partitions = cores exactly: each extra partition is another
+    # RocksDB state-store instance opened+committed per micro-batch
     spark = get_spark(f"bench-stream-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=cores * 2,
+                      shuffle_partitions=cores,
                       extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
     spark.sparkContext.setLogLevel("ERROR")
     # slices must be (roughly) event-time ordered or the advancing
@@ -293,8 +297,15 @@ def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
     for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
         os.utime(p, (now + i, now + i))
 
-    from data_harvesting_spark.streaming.pipeline import start_curate_job
+    from data_harvesting_spark.streaming.pipeline import (
+        start_curate_job,
+        start_curate_job_session_window,
+    )
 
+    starter = (
+        start_curate_job_session_window if mode == "session_window"
+        else start_curate_job
+    )
     work = tempfile.mkdtemp(prefix="dhs_stream_run_")
     cfg = HarvestConfig(
         session_gap="30 minutes",
@@ -304,7 +315,7 @@ def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
     t0 = time.perf_counter()
-    q = start_curate_job(spark, src, cfg, available_now=True)
+    q = starter(spark, src, cfg, available_now=True)
     q.awaitTermination()
     dt = time.perf_counter() - t0
     from data_harvesting_spark.streaming.sink import read_epoch_sink
@@ -318,6 +329,7 @@ def run_streaming(n_turns: int, cores: int = 32, n_slices: int = 8) -> dict:
         "metric": "streaming_curated_turns_per_sec",
         "value": round(n_turns / dt, 1),
         "unit": "turns/sec",
+        "mode": mode,
         "n_turns": n_turns,
         "cores": cores,
         "sec": round(dt, 2),
@@ -334,6 +346,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
         cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-        print(json.dumps(run_streaming(n, cores)))
+        mode = sys.argv[4] if len(sys.argv) > 4 else "kernel"
+        print(json.dumps(run_streaming(n, cores, mode=mode)))
     else:
         print(json.dumps(run_headline()))

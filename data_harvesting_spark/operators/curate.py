@@ -40,7 +40,10 @@ from data_harvesting_spark.config import HarvestConfig
 from data_harvesting_spark.functions.text import normalize_text, text_hash
 
 
-def dedup_turns(transcripts: DataFrame) -> DataFrame:
+KEY = ("conv_id",)
+
+
+def dedup_turns(transcripts: DataFrame, keys: tuple[str, ...] = KEY) -> DataFrame:
     """A1/A2 — dedup turns by normalized-text hash within a conversation.
 
     Keep-first-by-turn_idx per (conv_id, xxhash64(norm_text)) — the
@@ -56,14 +59,16 @@ def dedup_turns(transcripts: DataFrame) -> DataFrame:
     t = transcripts.withColumn(
         "norm_hash", F.xxhash64(normalize_text("text"))
     )
-    payload = [c for c in t.columns if c not in ("conv_id", "norm_hash")]
-    kept = t.groupBy("conv_id", "norm_hash").agg(
+    payload = [c for c in t.columns if c not in (*keys, "norm_hash")]
+    kept = t.groupBy(*keys, "norm_hash").agg(
         F.min_by(F.struct(*payload), "turn_idx").alias("_row")
     )
-    return kept.select("conv_id", *[F.col(f"_row.{c}").alias(c) for c in payload])
+    return kept.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in payload])
 
 
-def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
+def correlate_pairs(
+    deduped: DataFrame, cfg: HarvestConfig, keys: tuple[str, ...] = KEY
+) -> DataFrame:
     """J3 — as-of correlation of tool-call turns with response turns.
 
     For each response turn (role=cfg.response_role, tool set), find the most
@@ -80,7 +85,7 @@ def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
     is_resp = (F.col("role") == cfg.response_role) & F.col("tool").isNotNull()
 
     w_tool = (
-        Window.partitionBy("conv_id", "tool")
+        Window.partitionBy(*keys, "tool")
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -90,7 +95,7 @@ def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
     )
 
     pairs = tagged.where(is_resp & F.col("prev_call").isNotNull()).select(
-        "conv_id",
+        *keys,
         F.col("prev_call.turn_idx").alias("call_turn_idx"),
         F.col("turn_idx").alias("response_turn_idx"),
         "tool",
@@ -100,7 +105,7 @@ def correlate_pairs(deduped: DataFrame, cfg: HarvestConfig) -> DataFrame:
         F.col("prev_call.ts").alias("call_ts"),
     )
 
-    w_first = Window.partitionBy("conv_id", "call_turn_idx").orderBy(
+    w_first = Window.partitionBy(*keys, "call_turn_idx").orderBy(
         "response_turn_idx"
     )
     return (
@@ -125,9 +130,11 @@ def apply_condition(pairs: DataFrame) -> DataFrame:
     )
 
 
-def cap_and_number(pairs: DataFrame, cfg: HarvestConfig) -> DataFrame:
+def cap_and_number(
+    pairs: DataFrame, cfg: HarvestConfig, keys: tuple[str, ...] = KEY
+) -> DataFrame:
     """P9 emission cap + W3 stable numbering, ordered by call turn_idx."""
-    w = Window.partitionBy("conv_id").orderBy("call_turn_idx", "response_turn_idx")
+    w = Window.partitionBy(*keys).orderBy("call_turn_idx", "response_turn_idx")
     out = pairs.withColumn("example_idx", (F.row_number().over(w) - 1).cast("int"))
     if cfg.max_pairs_per_conv > 0:
         out = out.where(F.col("example_idx") < cfg.max_pairs_per_conv)
@@ -166,4 +173,35 @@ def curate(transcripts: DataFrame, cfg: HarvestConfig | None = None) -> DataFram
         text_hash(F.col("response_text")).alias("text_hash"),
         "call_ts",
         "response_ts",
+    )
+
+
+def curate_keyed(
+    turns: DataFrame,
+    cfg: HarvestConfig | None = None,
+    keys: tuple[str, ...] = ("conv_id", "window_start"),
+) -> DataFrame:
+    """Flagship pipeline generalized to an arbitrary session key (default:
+    closed session windows ``(conv_id, window_start)``).
+
+    Used by the session-window streaming runner: the JVM's
+    ``session_window`` aggregation assembles and closes sessions; this
+    declarative pipeline curates the closed sessions inside foreachBatch.
+    Still one exchange: all window/agg keys are supersets of ``conv_id``.
+    """
+    cfg = cfg or HarvestConfig()
+    turns = turns.repartition(F.col("conv_id"))
+    deduped = dedup_turns(turns, keys)
+    pairs = correlate_pairs(deduped, cfg, keys)
+    pairs = apply_condition(pairs)
+    pairs = cap_and_number(pairs, cfg, keys)
+    return pairs.select(
+        *keys,
+        "example_idx",
+        "call_turn_idx",
+        "response_turn_idx",
+        "tool",
+        "call_text",
+        "response_text",
+        text_hash(F.col("response_text")).alias("text_hash"),
     )

@@ -178,3 +178,64 @@ def run_sessionized_stream_to_completion(
     if cfg.sink_format == "epoch":
         return read_epoch_sink(spark, cfg.sink_path)
     return spark.read.parquet(cfg.sink_path)
+
+
+def start_curate_job_session_window(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """Scale-path streaming curate: JVM session windows + declarative batch
+    curate on closed sessions.
+
+    The stateful-kernel runner (start_curate_job) pays a Python handler
+    invocation per key per micro-batch just to buffer; here the buffering
+    is Spark's native ``session_window`` aggregation (UnsafeRow state,
+    whole-stage codegen, RocksDB) and append mode hands ``foreachBatch``
+    only CLOSED sessions, which the single-exchange declarative pipeline
+    (operators/curate.py::curate_keyed) curates with zero Python in the
+    per-turn path. ~20x the stateful-kernel throughput (BENCH.md); the
+    kernel runner remains the reference for custom per-key state (W5) and
+    per-session suppression sweeps.
+    """
+    from data_harvesting_spark.config import validate_config
+    from data_harvesting_spark.operators.curate import curate_keyed
+
+    validate_config(cfg)
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    sink_fn = sink_for(cfg.sink_format)
+    stream = read_transcript_stream(spark, source_dir)
+
+    closed_sessions = (
+        stream.withWatermark("ts", cfg.watermark_delay)
+        .groupBy(
+            F.session_window("ts", cfg.session_gap).alias("sw"),
+            F.col("conv_id"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+            ).alias("turns")
+        )
+        .select(
+            "conv_id", F.col("sw.start").alias("window_start"), "turns"
+        )
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        turns = df.select(
+            "conv_id", "window_start", F.explode("turns").alias("t")
+        ).select("conv_id", "window_start", "t.*")
+        curated = curate_keyed(turns, cfg)
+        sink_fn(curated, epoch_id, cfg.sink_path)
+
+    writer = (
+        closed_sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

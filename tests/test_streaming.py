@@ -247,3 +247,26 @@ def test_rates_stream_equals_batch(spark, fixture_batches, tmp_path):
     want = want[cols].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def test_session_window_stream_equals_kernel_batch(spark, fixture_batches, tmp_path):
+    """The JVM session-window streaming runner (scale path) emits the same
+    curated set as the batch kernel runner — two independent streaming
+    architectures, one semantics."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_curate_job_session_window(
+        spark, fixture_batches, cfg, available_now=False
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _batch_reference(spark, fixture_batches, cfg)
+    cols = [c for c in want.columns if c in set(got.columns)]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+    assert len(got) > 0
