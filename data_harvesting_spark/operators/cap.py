@@ -26,10 +26,12 @@ from data_harvesting_spark.config import HarvestConfig
 
 
 def _sweep_group(
-    pdf: pd.DataFrame, order_col: str, max_emit: int, suppress: int
+    pdf: pd.DataFrame, order_col: str | list[str], max_emit: int, suppress: int
 ) -> pd.DataFrame:
-    pdf = pdf.sort_values(order_col, kind="mergesort")
-    order = pdf[order_col].to_numpy()
+    """order_col: sort key(s); the LAST one is the suppression index."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    pdf = pdf.sort_values(order_cols, kind="mergesort")
+    order = pdf[order_cols[-1]].to_numpy()
     keep = []
     emitted = 0
     suppress_until = -1
@@ -48,15 +50,17 @@ def _sweep_group(
 def suppress_and_cap(
     qualifying: DataFrame,
     cfg: HarvestConfig,
-    key: str = "conv_id",
-    order_col: str = "turn_idx",
+    key: str | list[str] = "conv_id",
+    order_col: str | list[str] = "turn_idx",
 ) -> DataFrame:
-    """Greedy emit-then-suppress sweep over qualifying rows per key.
+    """Greedy emit-then-suppress sweep over qualifying rows per key
+    (single column or composite, e.g. ``["conv_id", "window_start"]``).
 
     With ``cfg.suppress_turns_after_emit == 0`` this degenerates to the
     pure cap and is equivalent to the window formulation in curate.py
     (tested for parity).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     max_emit = cfg.max_pairs_per_conv
     suppress = cfg.suppress_turns_after_emit
     schema = qualifying.schema
@@ -64,7 +68,7 @@ def suppress_and_cap(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _sweep_group(pdf, order_col, max_emit, suppress)
 
-    return qualifying.groupBy(key).applyInPandas(fn, schema=schema)
+    return qualifying.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
 def cap_only(qualifying: DataFrame, cfg: HarvestConfig) -> DataFrame:

@@ -194,6 +194,15 @@ def curate_keyed(
     deduped = dedup_turns(turns, keys)
     pairs = correlate_pairs(deduped, cfg, keys)
     pairs = apply_condition(pairs)
+    if cfg.suppress_turns_after_emit > 0:
+        # P10 — sequential per-session sweep (operators/cap.py), then the
+        # window numbering below re-derives dense example_idx
+        from data_harvesting_spark.operators.cap import suppress_and_cap
+
+        pairs = suppress_and_cap(
+            pairs, cfg, key=list(keys),
+            order_col=["call_turn_idx", "response_turn_idx"],
+        )
     pairs = cap_and_number(pairs, cfg, keys)
     return pairs.select(
         *keys,

@@ -270,3 +270,63 @@ def test_session_window_stream_equals_kernel_batch(spark, fixture_batches, tmp_p
     cols = [c for c in want.columns if c in set(got.columns)]
     pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
     assert len(got) > 0
+
+
+def test_session_window_kill_and_resume(spark, fixture_batches, tmp_path):
+    """Kill-resume exactly-once for the session-window runner (W7): stop
+    mid-stream, resume from checkpoint, final output identical to the
+    uninterrupted batch reference."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_curate_job_session_window(
+        spark, fixture_batches, cfg, available_now=False
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 3:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_curate_job_session_window(
+        spark, fixture_batches, cfg, available_now=False
+    )
+    drain(q2)
+
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _batch_reference(spark, fixture_batches, cfg)
+    cols = [c for c in want.columns if c in set(got.columns)]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+
+
+def test_suppression_parity_across_runners(spark, fixture_batches, tmp_path):
+    """With suppression on, the declarative keyed pipeline and the pandas
+    kernel agree (P10 is the one genuinely sequential operator)."""
+    from data_harvesting_spark.operators.curate import curate_keyed
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.operators.sessionize import sessionize
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    cfg = _cfg(str(tmp_path), suppress_turns_after_emit=3)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+
+    sess = sessionize(t, gap_seconds=30 * 60).select(
+        "conv_id", "window_start", "turn_idx", "role", "text", "tool", "ts"
+    )
+    got = curate_keyed(sess, cfg).toPandas()
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+    assert len(got) > 0
