@@ -37,10 +37,12 @@ def read_transcript_stream(
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def curated_stream(stream: DataFrame, cfg: HarvestConfig) -> DataFrame:
+def curated_stream(
+    stream: DataFrame, cfg: HarvestConfig, late_counter=None
+) -> DataFrame:
     """transcript stream → curated pairs stream (stateful kernel path)."""
     with_hash = stream.withColumn("text_hash", text_hash("text"))
-    return correlate_stream(with_hash, cfg)
+    return correlate_stream(with_hash, cfg, late_counter)
 
 
 def start_curate_job(
@@ -62,7 +64,11 @@ def start_curate_job(
     os.makedirs(cfg.sink_path, exist_ok=True)
     sink_fn = sink_for(cfg.sink_format)
     stream = read_transcript_stream(spark, source_dir)
-    curated = curated_stream(stream, cfg)
+    # W6 late-drop accounting for the kernel path (the JVM paths report
+    # numRowsDroppedByWatermark natively; applyInPandasWithState does not
+    # pre-filter, so the handler drops + counts via this accumulator)
+    late_counter = spark.sparkContext.accumulator(0)
+    curated = curated_stream(stream, cfg, late_counter)
 
     def batch_writer(df: DataFrame, epoch_id: int) -> None:
         sink_fn(df, epoch_id, cfg.sink_path)
@@ -74,7 +80,9 @@ def start_curate_job(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
 
 
 def start_rates_job(

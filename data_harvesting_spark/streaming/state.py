@@ -84,8 +84,16 @@ def _pdf_to_buffer(pdf: pd.DataFrame) -> tuple:
     )
 
 
-def make_correlator(cfg: HarvestConfig):
-    """Build the applyInPandasWithState handler closure."""
+def make_correlator(cfg: HarvestConfig, late_counter=None):
+    """Build the applyInPandasWithState handler closure.
+
+    ``late_counter``: optional Spark Accumulator counting dropped late
+    rows. Unlike JVM windowed aggregations, applyInPandasWithState does
+    NOT pre-filter rows older than the watermark (pinned by
+    tests/test_streaming.py::test_late_drop_counted_in_metrics) — the
+    handler enforces the W2/W6 late-data policy itself so a
+    beyond-watermark turn can neither reopen nor corrupt a session.
+    """
     gap_s = parse_duration_seconds(cfg.session_gap)
     gap_ms = int(gap_s * 1000)
 
@@ -106,6 +114,18 @@ def make_correlator(cfg: HarvestConfig):
         new = pd.concat(list(pdfs), ignore_index=True)
         new = new.rename(columns={"ts": "ts"})
         new["text_hash"] = new["text_hash"].astype("Int64")
+
+        wm0_ms = state.getCurrentWatermarkMs()
+        if wm0_ms > 0:
+            late = new["ts"].astype("datetime64[us]").astype("int64") < (
+                wm0_ms * 1000
+            )
+            if late.any():
+                if late_counter is not None:
+                    late_counter.add(int(late.sum()))
+                new = new[~late]
+                if len(new) == 0 and not state.exists:
+                    return
         if state.exists:
             buf = pd.concat(
                 [_buffer_to_pdf(conv_id, state.get), new], ignore_index=True
@@ -137,7 +157,7 @@ def make_correlator(cfg: HarvestConfig):
     return handler
 
 
-def correlate_stream(transcripts_stream, cfg: HarvestConfig):
+def correlate_stream(transcripts_stream, cfg: HarvestConfig, late_counter=None):
     """Wire the stateful correlator onto a watermarked transcript stream.
 
     transcripts_stream: streaming DataFrame with TRANSCRIPT_SCHEMA columns
@@ -148,7 +168,7 @@ def correlate_stream(transcripts_stream, cfg: HarvestConfig):
         transcripts_stream.withWatermark("ts", cfg.watermark_delay)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            make_correlator(cfg),
+            make_correlator(cfg, late_counter),
             outputStructType=CURATED_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

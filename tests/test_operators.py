@@ -234,3 +234,16 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall={recall}"
+
+
+def test_small_dim_join_broadcasts(spark):
+    """Scale posture: joining facts to tiny dims (nation/region) must plan
+    as BroadcastHashJoin, never a shuffle join."""
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["orders_by_nation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -330,3 +330,53 @@ def test_suppression_parity_across_runners(spark, fixture_batches, tmp_path):
             "response_turn_idx", "tool", "call_text", "response_text"]
     pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
     assert len(got) > 0
+
+
+def test_late_drop_counted_in_metrics(spark, tmp_path):
+    """W6: rows dropped beyond the watermark surface in progress metrics
+    (numRowsDroppedByWatermark) — the reference has no late-data concept,
+    the graft must account for every dropped row."""
+    import json
+
+    import numpy as np
+
+    from data_harvesting_spark.streaming.metrics import attach_progress_logger
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    src = tmp_path / "late_metrics_src"
+    src.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b0 = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": np.array([0, 1], dtype="int32"),
+            "role": ["assistant", "tool"],
+            "text": ["call search q", "result r"],
+            "tool": ["search", "search"],
+            "ts": [base, base + pd.Timedelta(seconds=10)],
+        }
+    )
+    write_parquet_us(b0, str(src / "b0.parquet"))
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["c1", "flush"],
+            "turn_idx": np.array([2, 0], dtype="int32"),
+            "role": ["tool", "user"],
+            "text": ["stale", "z"],
+            "tool": ["search", "go"],
+            "ts": [base - pd.Timedelta(hours=9),  # far beyond watermark
+                   base + pd.Timedelta(hours=12)],
+        }
+    )
+    write_parquet_us(b1, str(src / "b1.parquet"))
+
+    from data_harvesting_spark.streaming.pipeline import drain, start_curate_job
+
+    cfg = _cfg(str(tmp_path), watermark_delay="10 minutes")
+    q = start_curate_job(spark, str(src), cfg, available_now=False)
+    drain(q)
+    # kernel path: applyInPandasWithState does NOT pre-filter late rows —
+    # the handler drops them and counts via the accumulator
+    assert q.late_counter.value >= 1
