@@ -20,26 +20,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exists_tool_pair(transcripts: DataFrame) -> DataFrame:
-    """P5 exists-quantifier: conversation contains a tool-call turn AND a
-    tool-response turn (reference: `projects/helmet/helmet_project.py:43-45`
-    `any(cls == person)` per model)."""
-    return transcripts.groupBy("conv_id").agg(
+# Each predicate = (aggregate columns, post-aggregation condition). This
+# representation lets ``qualifying_conversations`` evaluate ANY predicate
+# combination in ONE hash-aggregate pass (one shuffle), instead of one
+# groupBy + join per predicate.
+def _exists_tool_pair_spec():
+    aggs = [
         F.max(
             F.when((F.col("role") == "assistant") & F.col("tool").isNotNull(), 1)
         ).alias("_has_call"),
         F.max(
             F.when((F.col("role") == "tool") & F.col("tool").isNotNull(), 1)
         ).alias("_has_resp"),
-    ).where(
-        (F.col("_has_call") == 1) & (F.col("_has_resp") == 1)
-    ).select("conv_id")
+    ]
+    cond = (F.col("_has_call") == 1) & (F.col("_has_resp") == 1)
+    return aggs, cond
 
 
-def forall_nonempty_tool_text(transcripts: DataFrame) -> DataFrame:
-    """P6 forall-quantifier: every tool-role turn has non-empty text
-    (reference: `projects/helmet/helmet_project.py:46-51` forall min-size)."""
-    return transcripts.groupBy("conv_id").agg(
+def _forall_nonempty_tool_text_spec():
+    aggs = [
         F.min(
             F.when(
                 F.col("role") == "tool",
@@ -48,7 +47,41 @@ def forall_nonempty_tool_text(transcripts: DataFrame) -> DataFrame:
                 ).otherwise(0),
             )
         ).alias("_ok")
-    ).where(F.col("_ok").isNull() | (F.col("_ok") == 1)).select("conv_id")
+    ]
+    cond = F.col("_ok").isNull() | (F.col("_ok") == 1)
+    return aggs, cond
+
+
+_SPECS = {
+    "exists_tool_pair": _exists_tool_pair_spec,
+    "forall_nonempty_tool_text": _forall_nonempty_tool_text_spec,
+}
+
+
+def qualifying_conversations(transcripts: DataFrame, names: list[str]) -> DataFrame:
+    """Conversations satisfying ALL named predicates — single groupBy pass
+    regardless of predicate count (one shuffle on conv_id)."""
+    aggs, conds = [], None
+    for n in names:
+        a, c = _SPECS[n]()
+        aggs.extend(a)
+        conds = c if conds is None else (conds & c)
+    return (
+        transcripts.groupBy("conv_id").agg(*aggs).where(conds).select("conv_id")
+    )
+
+
+def exists_tool_pair(transcripts: DataFrame) -> DataFrame:
+    """P5 exists-quantifier: conversation contains a tool-call turn AND a
+    tool-response turn (reference: `projects/helmet/helmet_project.py:43-45`
+    `any(cls == person)` per model)."""
+    return qualifying_conversations(transcripts, ["exists_tool_pair"])
+
+
+def forall_nonempty_tool_text(transcripts: DataFrame) -> DataFrame:
+    """P6 forall-quantifier: every tool-role turn has non-empty text
+    (reference: `projects/helmet/helmet_project.py:46-51` forall min-size)."""
+    return qualifying_conversations(transcripts, ["forall_nonempty_tool_text"])
 
 
 def exact_count(transcripts: DataFrame, role: str, n: int) -> DataFrame:

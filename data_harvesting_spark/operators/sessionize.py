@@ -42,16 +42,16 @@ def crop_span(transcripts: DataFrame) -> DataFrame:
     tool-involved. Mirrors `/root/reference/condition.py:98-127`
     (min/max bbox + clamp) as min/max over turn_idx.
     """
-    spans = (
-        transcripts.where(F.col("tool").isNotNull())
-        .groupBy("conv_id")
-        .agg(
-            F.min("turn_idx").alias("_lo"),
-            F.max("turn_idx").alias("_hi"),
-        )
-    )
+    # window formulation: span min/max ride the same conv_id partitioning
+    # the renumber window uses — one shuffle for crop+renumber combined,
+    # no aggregate-plus-join-back (which would cost two more exchanges)
+    w = Window.partitionBy("conv_id")
+    qual = F.when(F.col("tool").isNotNull(), F.col("turn_idx"))
+    lo = F.min(qual).over(w)
+    hi = F.max(qual).over(w)
     return (
-        transcripts.join(spans, "conv_id")
+        transcripts.withColumn("_lo", lo)
+        .withColumn("_hi", hi)
         .where((F.col("turn_idx") >= F.col("_lo")) & (F.col("turn_idx") <= F.col("_hi")))
         .drop("_lo", "_hi")
     )

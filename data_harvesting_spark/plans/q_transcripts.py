@@ -58,12 +58,13 @@ def q_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 exists + P6 forall quantifiers composed (reference
     `projects/helmet/helmet_project.py:43-51`)."""
     from data_harvesting_spark.operators.predicates import (
-        exists_tool_pair,
-        forall_nonempty_tool_text,
+        qualifying_conversations,
     )
 
     t = load_transcripts_from_events(spark, sf_dir)
-    return exists_tool_pair(t).join(forall_nonempty_tool_text(t), "conv_id")
+    return qualifying_conversations(
+        t, ["exists_tool_pair", "forall_nonempty_tool_text"]
+    )
 
 
 # ---------------------------------------------------------------- P7
