@@ -20,6 +20,13 @@ event_type string, value double, props string)
 
 from __future__ import annotations
 
+# The ROW_NUMBER partitions by the conv_id EXPRESSION (not user_id) on
+# purpose: 'conv-'||user_id is a bijection of user_id, so semantics are
+# identical in both engines, but Spark's window exchange then hash-
+# partitions by exactly the key every downstream operator clusters on —
+# the flagship curate can consume the derivation with zero extra shuffles
+# (see operators/curate.py pre_clustered).
+#
 # Shape encoding per turn position k = turn_idx % 4:
 #   k=0 user, k=1 assistant tool-call, k=2 tool response (same tool via lag),
 #   k=3 assistant wrap-up.
@@ -28,13 +35,18 @@ from __future__ import annotations
 #   %13==0  → duplicate payload (A1 dedup fixtures)
 #   %19==0 on k=2 → response dropped (orphan-call fixtures, J3 negative)
 TRANSCRIPTS_FROM_EVENTS_SQL = """
-WITH ordered AS (
+WITH base AS (
+  SELECT 'conv-' || CAST(user_id AS STRING) AS conv_id,
+         event_id, ts, event_type, value, props
+  FROM {events}
+),
+ordered AS (
   SELECT
-    'conv-' || CAST(user_id AS STRING)  AS conv_id,
-    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+    conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INT)
                                         AS turn_idx,
     event_id, ts, event_type, value, props
-  FROM {events}
+  FROM base
 ),
 shaped AS (
   SELECT

@@ -141,11 +141,20 @@ def cap_and_number(
     return out
 
 
-def curate(transcripts: DataFrame, cfg: HarvestConfig | None = None) -> DataFrame:
+def curate(
+    transcripts: DataFrame,
+    cfg: HarvestConfig | None = None,
+    pre_clustered: bool = False,
+) -> DataFrame:
     """Full flagship pipeline: transcripts → curated call/response pairs.
 
     Pure function over a DataFrame — usable unchanged from the batch runner
     and from ``foreachBatch`` in the streaming runner (SURVEY §3 E3).
+
+    ``pre_clustered=True`` asserts the input is already hash-clustered by
+    ``conv_id`` (e.g. the events→transcripts derivation, whose window
+    partitions by the conv_id expression; or a bucketed table) and skips
+    the pipeline's own repartition — zero exchanges added.
     """
     cfg = cfg or HarvestConfig()
     if cfg.allowed_roles:
@@ -157,7 +166,8 @@ def curate(transcripts: DataFrame, cfg: HarvestConfig | None = None) -> DataFram
     # ONE exchange for the whole pipeline: every window below partitions by
     # a superset of conv_id, so HashPartitioning(conv_id) satisfies each
     # ClusteredDistribution and Catalyst inserts sorts, not reshuffles.
-    transcripts = transcripts.repartition(F.col("conv_id"))
+    if not pre_clustered:
+        transcripts = transcripts.repartition(F.col("conv_id"))
     deduped = dedup_turns(transcripts)
     pairs = correlate_pairs(deduped, cfg)
     pairs = apply_condition(pairs)

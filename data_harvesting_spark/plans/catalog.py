@@ -119,7 +119,7 @@ def q_curate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_harvesting_spark.operators.curate import curate
 
     t = load_transcripts_from_events(spark, sf_dir)
-    return curate(t, HarvestConfig()).select(
+    return curate(t, HarvestConfig(), pre_clustered=True).select(
         "conv_id",
         "example_idx",
         "call_turn_idx",
