@@ -517,3 +517,41 @@ def q_curate_sessions_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_transcripts_from_events(spark, sf_dir)
     return curate_sessions(t, HarvestConfig(session_gap="30 minutes"))
+
+
+# ---------------------------------------------------------------- §2.6 strings
+@register(
+    "label_lines",
+    _with_t(
+        """
+SELECT conv_id,
+       string_agg(printf('%d %s %s', turn_idx, role, coalesce(text, '')),
+                  chr(10) ORDER BY turn_idx) AS label_text
+FROM transcripts
+GROUP BY conv_id
+"""
+    ),
+)
+def q_label_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 string surface — the reference's label-file assembly
+    (`/root/reference/condition.py:130-157` emits one text line per box,
+    joined into a label file): format_string per turn + ordered concat_ws
+    per conversation, all JVM-side."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    line = F.format_string(
+        "%d %s %s", F.col("turn_idx"), F.col("role"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    assembled = (
+        t.select("conv_id", F.struct("turn_idx", line.alias("line")).alias("s"))
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["line"]
+                ),
+            ).alias("label_text")
+        )
+    )
+    return assembled
