@@ -380,3 +380,32 @@ def test_late_drop_counted_in_metrics(spark, tmp_path):
     # kernel path: applyInPandasWithState does NOT pre-filter late rows —
     # the handler drops them and counts via the accumulator
     assert q.late_counter.value >= 1
+
+
+def test_merge_sink_idempotent_replay(spark, fixture_batches, tmp_path):
+    """S6/W7: the parquet-merge sink (local MERGE INTO stand-in) is
+    idempotent — replaying the same batch (crash between write and
+    checkpoint commit) leaves the keyed output set unchanged."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.sink import write_merge
+
+    cfg = _cfg(str(tmp_path), sink_format="parquet-merge")
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    curated = curate_sessions(t, cfg)
+    sink = str(tmp_path / "merged")
+
+    write_merge(curated, 0, sink)
+    once = spark.read.parquet(sink).toPandas()
+    # forced replay of the same epoch, then a replay of a subset of WHOLE
+    # sessions (the sink's contract: a batch carries complete sessions —
+    # MERGE replaces per (conv_id, window_start)) — neither may duplicate
+    # or drop rows
+    write_merge(curated, 0, sink)
+    some_convs = sorted(once["conv_id"].unique())[:5]
+    write_merge(curated.where(curated.conv_id.isin(some_convs)), 1, sink)
+    twice = spark.read.parquet(sink).toPandas()
+    pd.testing.assert_frame_equal(_canon(once), _canon(twice))
+    assert len(once) > 0
