@@ -338,8 +338,42 @@ def run_streaming(
     }
 
 
+def run_ceiling(lo_cores: int = 2, rounds: int = 3) -> dict:
+    """Machine-ceiling calibration (BENCH.md): pure whole-stage-codegen CPU
+    (no shuffle/sort/disk) at N vs 4N threads — the best any job can scale
+    on this box. Interleaved rounds, best-of-N."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.session import get_spark
+
+    hi_cores = lo_cores * 4
+    res: dict[int, list[float]] = {}
+    for _ in range(rounds):
+        for cores in (lo_cores, hi_cores):
+            spark = get_spark(f"ceiling-{cores}", master=f"local[{cores}]",
+                              shuffle_partitions=8)
+            spark.sparkContext.setLogLevel("ERROR")
+            t0 = time.perf_counter()
+            spark.range(0, 2_000_000_000, 1, cores * 8).select(
+                F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1000)))
+            ).collect()
+            res.setdefault(cores, []).append(time.perf_counter() - t0)
+            spark.stop()
+    lo, hi = min(res[lo_cores]), min(res[hi_cores])
+    return {
+        "metric": "pure_cpu_scaling_ceiling",
+        "value": round((lo / hi) / 4, 3),
+        "unit": "efficiency",
+        f"local{lo_cores}_sec": round(lo, 2),
+        f"local{hi_cores}_sec": round(hi, 2),
+    }
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+    if len(sys.argv) > 1 and sys.argv[1] == "--ceiling":
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        print(json.dumps(run_ceiling(lo)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000_000
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         print(json.dumps(run_scaling(n, lo_cores=lo)))
