@@ -555,3 +555,44 @@ def q_label_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assembled
+
+
+# ---------------------------------------------------------------- A8 quantiles
+@register(
+    "latency_quantiles",
+    _with_t(
+        """
+, lat AS (
+  SELECT tool,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat_us
+  FROM transcripts
+)
+SELECT tool,
+       CAST(floor(quantile_cont(lat_us, 0.5)) AS BIGINT) AS p50_us,
+       CAST(floor(quantile_cont(lat_us, 0.95)) AS BIGINT) AS p95_us,
+       CAST(count(lat_us) AS BIGINT) AS n
+FROM lat WHERE tool IS NOT NULL
+GROUP BY tool
+"""
+    ),
+)
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 extension — per-tool inter-turn latency p50/p95 via exact
+    interpolated percentile (matches DuckDB quantile_cont); the scale path
+    swaps in `percentile_approx` (t-digest sketch) — same plan shape, no
+    global sort."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = t.withColumn(
+        "lat_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    )
+    return (
+        lat.where(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.floor(F.percentile("lat_us", F.lit(0.5))).cast("bigint").alias("p50_us"),
+            F.floor(F.percentile("lat_us", F.lit(0.95))).cast("bigint").alias("p95_us"),
+            F.count("lat_us").alias("n"),
+        )
+    )

@@ -176,3 +176,26 @@ def test_hot_conversation_skew_correctness(spark):
     assert sorted(hot["example_idx"]) == list(range(100))
     # non-hot conversations also emit (9 pairs each for 20 turns) — spot check
     assert (out[out["conv_id"] != "conv-hot"].groupby("conv_id").size() > 0).any()
+
+
+def test_curate_keyed_single_exchange_plan(spark, transcripts_df):
+    """The session-keyed variant (streaming foreachBatch path) keeps the
+    same scale-critical shape: one shuffle, zero joins — window_start in
+    every key is a refinement of conv_id, so HashPartitioning(conv_id)
+    still satisfies all clustering requirements."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate_keyed
+
+    sess = transcripts_df.withColumn("window_start", F.lit("2026-01-01").cast("timestamp"))
+    plan = (
+        curate_keyed(sess, HarvestConfig())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bExchange ", plan)) == 1, plan
+    assert not re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan)
