@@ -28,6 +28,20 @@ class HarvestConfig:
 
     # P9 — per-conversation emission cap (reference: MAX_NUMBER_OF_PREDICTIONS)
     max_pairs_per_conv: int = 100
+    # Scope of the emission cap / suppression / min gate / example numbering
+    # in the sessionized paths: "conversation" (reference semantics — per
+    # video = per conversation, cumulative across its sessions,
+    # `/root/reference/services/harvest_service.py:175`) or "session"
+    # (each gap-bounded session capped/numbered independently). The
+    # non-sessionized flagship `curate()` treats the whole conversation as
+    # one session, so both scopes coincide there.
+    cap_scope: str = "conversation"
+    # conversation-scope streaming only: how long the kernel runner retains
+    # a conversation's (emitted, suppress_until) counters after its last
+    # session closed, so a later session continues the count instead of
+    # restarting at 0. Exact batch parity holds for conversations whose
+    # inter-session event-time gaps stay under this retention.
+    cap_state_retention: str = "7 days"
     # P10 — post-emission suppression window, in turns
     # (reference: FRAMES_SKIP_AFTER_DETECT)
     suppress_turns_after_emit: int = 0
@@ -62,16 +76,47 @@ class ConfigError(ValueError):
     """Raised when a pipeline is built from an inconsistent config."""
 
 
-def validate_config(cfg: HarvestConfig) -> HarvestConfig:
+def validate_config(
+    cfg: HarvestConfig, streaming_runner: str | None = None
+) -> HarvestConfig:
     """J4 — registration-integrity analog: the reference asserts each
     registered module's name matches the env config before running
     (`/root/reference/services/harvest_service.py:63-82`); here the build
     step asserts the config is self-consistent before a plan is built.
+
+    ``streaming_runner`` ("kernel" | "session_window") additionally rejects
+    combinations a given streaming architecture cannot implement exactly,
+    instead of silently diverging from batch semantics:
+
+    - conversation-scope ``min_pairs_per_conv > 1`` needs the whole
+      conversation before emitting anything — incremental session emission
+      cannot retract; batch-only.
+    - conversation-scope suppression needs a per-conversation cursor carried
+      across sessions; the kernel runner keeps it in state, the
+      session-window runner does not (its cross-batch ledger carries only
+      the emitted count).
     """
     from data_harvesting_spark.streaming.sink import SINKS
 
     if cfg.max_pairs_per_conv < 0:
         raise ConfigError("max_pairs_per_conv must be >= 0 (0 = uncapped)")
+    if cfg.cap_scope not in ("conversation", "session"):
+        raise ConfigError(
+            f"cap_scope must be 'conversation' or 'session', got {cfg.cap_scope!r}"
+        )
+    if streaming_runner is not None and cfg.cap_scope == "conversation":
+        if cfg.min_pairs_per_conv > 1:
+            raise ConfigError(
+                "min_pairs_per_conv > 1 with cap_scope='conversation' is "
+                "batch-only (streaming cannot retract already-emitted "
+                "sessions); use cap_scope='session' or the batch runner"
+            )
+        if streaming_runner == "session_window" and cfg.suppress_turns_after_emit > 0:
+            raise ConfigError(
+                "conversation-scope suppression is not supported by the "
+                "session-window runner (no cross-session suppression cursor); "
+                "use the kernel runner or cap_scope='session'"
+            )
     if cfg.sample_stride < 1:
         raise ConfigError("sample_stride must be >= 1")
     if cfg.call_role == cfg.response_role:

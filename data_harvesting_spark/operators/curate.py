@@ -55,6 +55,12 @@ def dedup_turns(transcripts: DataFrame, keys: tuple[str, ...] = KEY) -> DataFram
     together exactly like SQL ``PARTITION BY``).
     Reference: `condition.py:63-77` greedy near-dup removal; divergence
     (documented in SURVEY §2.4 A1): we fix a deterministic total order.
+
+    Collision bound: keying on the 64-bit hash instead of the normalized
+    text makes exactness probabilistic — a cross-text xxhash64 collision
+    within one conversation would drop a distinct turn. At per-conversation
+    cardinality n the collision probability is ~n²/2⁶⁵ (< 1e-13 for
+    n = 10⁴ turns), negligible even across 10⁸ conversations.
     """
     t = transcripts.withColumn(
         "norm_hash", F.xxhash64(normalize_text("text"))
@@ -131,13 +137,27 @@ def apply_condition(pairs: DataFrame) -> DataFrame:
 
 
 def cap_and_number(
-    pairs: DataFrame, cfg: HarvestConfig, keys: tuple[str, ...] = KEY
+    pairs: DataFrame,
+    cfg: HarvestConfig,
+    keys: tuple[str, ...] = KEY,
+    order_cols: tuple[str, ...] = ("call_turn_idx", "response_turn_idx"),
 ) -> DataFrame:
-    """P9 emission cap + W3 stable numbering, ordered by call turn_idx."""
-    w = Window.partitionBy(*keys).orderBy("call_turn_idx", "response_turn_idx")
+    """P9 emission cap + P8 min gate + W3 stable numbering per ``keys``.
+
+    ``keys`` is the cap/numbering scope (conversation or session — see
+    ``HarvestConfig.cap_scope``); ``order_cols`` the stable emission order
+    within it."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
     out = pairs.withColumn("example_idx", (F.row_number().over(w) - 1).cast("int"))
     if cfg.max_pairs_per_conv > 0:
         out = out.where(F.col("example_idx") < cfg.max_pairs_per_conv)
+    if cfg.min_pairs_per_conv > 1:
+        wc = Window.partitionBy(*keys)
+        out = (
+            out.withColumn("_n_pairs", F.count("*").over(wc))
+            .where(F.col("_n_pairs") >= cfg.min_pairs_per_conv)
+            .drop("_n_pairs")
+        )
     return out
 
 
@@ -186,6 +206,20 @@ def curate(
     )
 
 
+def curate_keyed_pairs(
+    turns: DataFrame,
+    cfg: HarvestConfig,
+    keys: tuple[str, ...] = ("conv_id", "window_start"),
+) -> DataFrame:
+    """Session-keyed dedup + correlation + condition, NO cap/numbering —
+    the shared front half of ``curate_keyed`` and the session-window
+    runner's cross-batch ledger writer (which numbers with offsets)."""
+    turns = turns.repartition(F.col("conv_id"))
+    deduped = dedup_turns(turns, keys)
+    pairs = correlate_pairs(deduped, cfg, keys)
+    return apply_condition(pairs)
+
+
 def curate_keyed(
     turns: DataFrame,
     cfg: HarvestConfig | None = None,
@@ -198,22 +232,31 @@ def curate_keyed(
     ``session_window`` aggregation assembles and closes sessions; this
     declarative pipeline curates the closed sessions inside foreachBatch.
     Still one exchange: all window/agg keys are supersets of ``conv_id``.
+
+    Dedup/correlation are always per session key; cap / suppression /
+    min gate / numbering follow ``cfg.cap_scope`` — conversation scope
+    (reference semantics) budgets and numbers across a conversation's
+    sessions in ``window_start`` order, matching the kernel
+    (operators/kernel.py) exactly.
     """
     cfg = cfg or HarvestConfig()
-    turns = turns.repartition(F.col("conv_id"))
-    deduped = dedup_turns(turns, keys)
-    pairs = correlate_pairs(deduped, cfg, keys)
-    pairs = apply_condition(pairs)
+    pairs = curate_keyed_pairs(turns, cfg, keys)
+    conv_scope = cfg.cap_scope == "conversation" and len(keys) > 1
+    cap_keys = keys[:1] if conv_scope else keys
+    order_cols = (
+        ("window_start", "call_turn_idx", "response_turn_idx")
+        if conv_scope
+        else ("call_turn_idx", "response_turn_idx")
+    )
     if cfg.suppress_turns_after_emit > 0:
-        # P10 — sequential per-session sweep (operators/cap.py), then the
-        # window numbering below re-derives dense example_idx
+        # P10 — sequential sweep per cap-scope key (operators/cap.py), then
+        # the window numbering below re-derives dense example_idx
         from data_harvesting_spark.operators.cap import suppress_and_cap
 
         pairs = suppress_and_cap(
-            pairs, cfg, key=list(keys),
-            order_col=["call_turn_idx", "response_turn_idx"],
+            pairs, cfg, key=list(cap_keys), order_col=list(order_cols)
         )
-    pairs = cap_and_number(pairs, cfg, keys)
+    pairs = cap_and_number(pairs, cfg, cap_keys, order_cols)
     return pairs.select(
         *keys,
         "example_idx",

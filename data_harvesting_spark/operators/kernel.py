@@ -46,22 +46,28 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def curate_session(pdf: pd.DataFrame, cfg: HarvestConfig) -> pd.DataFrame:
+def curate_session(
+    pdf: pd.DataFrame, cfg: HarvestConfig, carry: dict | None = None
+) -> pd.DataFrame:
     """Curate ONE session's turns → curated call/response pairs.
 
     Thin wrapper over the vectorized multi-session kernel (single session
     id) — used by the streaming state handler, which emits one closed
-    session at a time.
+    session at a time, threading ``carry`` (the conversation-scope
+    emitted/suppression cursor kept in stream state) between closes.
     """
     if len(pdf) == 0:
         return _EMPTY.copy()
     return curate_sessions_frame(
-        pdf, np.zeros(len(pdf), dtype=np.int64), cfg
+        pdf, np.zeros(len(pdf), dtype=np.int64), cfg, carry
     )
 
 
 def curate_sessions_frame(
-    pdf: pd.DataFrame, session_ids: np.ndarray, cfg: HarvestConfig
+    pdf: pd.DataFrame,
+    session_ids: np.ndarray,
+    cfg: HarvestConfig,
+    carry: dict | None = None,
 ) -> pd.DataFrame:
     """Vectorized curate over ALL of one conversation's sessions at once.
 
@@ -70,14 +76,24 @@ def curate_sessions_frame(
     per-group Python overhead is per-conversation, not per-session.
 
     Expects columns KERNEL_INPUT_COLS; any extra columns are ignored.
-    Semantics (identical to operators/curate.py's declarative pipeline,
-    scoped per session):
+    Semantics (identical to operators/curate.py's declarative pipeline;
+    dedup/correlation are always per session):
       1. stable order (session, turn_idx)
       2. dedup turns by text_hash within session, keep first
       3. response pairs with most recent preceding call of same tool
       4. first response per call wins
       5. both texts non-empty
-      6. optional suppression sweep, then emission cap, stable numbering
+      6. suppression sweep / emission cap / min gate / stable numbering at
+         ``cfg.cap_scope``: "conversation" (reference semantics — one
+         cumulative budget and numbering across the conversation's sessions
+         in time order, `/root/reference/services/harvest_service.py:175`)
+         or "session" (each session independent).
+
+    ``carry`` (conversation scope only): ``{"emitted": int,
+    "suppress_until": int}`` — the cross-call cursor for streaming, where
+    sessions of one conversation close incrementally. Mutated in place with
+    the post-call values. ``None`` (batch: whole conversation in one call)
+    means start from zero.
     """
     if len(pdf) == 0:
         return _EMPTY.copy()
@@ -136,18 +152,24 @@ def curate_sessions_frame(
         ["_sid", "call_turn_idx", "response_turn_idx"], kind="mergesort"
     )
 
+    conv_scope = cfg.cap_scope == "conversation"
+    emitted0 = carry["emitted"] if (conv_scope and carry) else 0
+    sup0 = carry["suppress_until"] if (conv_scope and carry) else -1
+
     # 6a. suppression sweep (response-turn spacing), bounded by cap —
-    # inherently sequential per session (reference
-    # services/harvest_service.py:207-231); loop only on this config path
+    # inherently sequential (reference services/harvest_service.py:207-231);
+    # loop only on this config path. Conversation scope: ONE cursor across
+    # sessions (turn_idx is conversation-global and time-monotone across
+    # sessions, so the cursor carries); session scope: reset per session.
     if cfg.suppress_turns_after_emit > 0:
         keep_rows = []
-        cur_sid, suppress_until, emitted = None, -1, 0
+        cur_sid, suppress_until, emitted = None, sup0, emitted0
         for idx, sid, resp_idx in zip(
             merged.index,
             merged["_sid"].to_numpy(),
             merged["response_turn_idx"].to_numpy(),
         ):
-            if sid != cur_sid:
+            if not conv_scope and sid != cur_sid:
                 cur_sid, suppress_until, emitted = sid, -1, 0
             if resp_idx <= suppress_until:
                 continue
@@ -157,21 +179,39 @@ def curate_sessions_frame(
             emitted += 1
             suppress_until = resp_idx + cfg.suppress_turns_after_emit
         merged = merged.loc[keep_rows]
+        if conv_scope and carry is not None:
+            carry["suppress_until"] = int(suppress_until)
     elif cfg.max_pairs_per_conv:
-        merged = merged.groupby("_sid").head(cfg.max_pairs_per_conv)
+        if conv_scope:
+            merged = merged.head(max(0, cfg.max_pairs_per_conv - emitted0))
+        else:
+            merged = merged.groupby("_sid").head(cfg.max_pairs_per_conv)
 
     if cfg.min_pairs_per_conv > 1:
-        sizes = merged.groupby("_sid")["_sid"].transform("size")
-        merged = merged[sizes >= cfg.min_pairs_per_conv]
+        # conversation scope: gate on the whole conversation's pair count
+        # (batch-only when streaming — see validate_config)
+        if conv_scope:
+            if emitted0 + len(merged) < cfg.min_pairs_per_conv:
+                merged = merged.iloc[0:0]
+        else:
+            sizes = merged.groupby("_sid")["_sid"].transform("size")
+            merged = merged[sizes >= cfg.min_pairs_per_conv]
 
     n = len(merged)
+    if conv_scope and carry is not None:
+        carry["emitted"] = emitted0 + n
     if n == 0:
         return _EMPTY.copy()
+    example_idx = (
+        (emitted0 + np.arange(n, dtype=np.int32)).astype("int32")
+        if conv_scope
+        else merged.groupby("_sid").cumcount().to_numpy("int32")
+    )
     return pd.DataFrame(
         {
             "conv_id": np.repeat(conv_id, n),
             "window_start": merged["_ws"].to_numpy(),
-            "example_idx": merged.groupby("_sid").cumcount().to_numpy("int32"),
+            "example_idx": example_idx,
             "call_turn_idx": merged["call_turn_idx"].astype("int32").to_numpy(),
             "response_turn_idx": merged["response_turn_idx"].astype("int32").to_numpy(),
             "tool": merged["tool"].to_numpy(),
@@ -190,6 +230,11 @@ def session_id_array(
     event-time gaps — no per-session Python."""
     pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
     ts = pdf["ts"].to_numpy()
+    # STRICT > matches JVM session_window semantics: each event spans
+    # [ts, ts + gap) and Spark merges windows that touch (next.start <=
+    # prev.end), so an event at EXACTLY last + gap stays in the same
+    # session — pinned empirically by the exact-boundary conv ("mc-b") in
+    # tests/test_streaming.py::test_conversation_cap_parity_all_paths
     gaps = np.diff(ts) > np.timedelta64(int(gap_seconds * 1_000_000), "us")
     return pdf, np.concatenate([[0], np.cumsum(gaps)])
 

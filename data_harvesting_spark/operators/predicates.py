@@ -60,9 +60,23 @@ _SPECS = {
 
 def qualifying_conversations(transcripts: DataFrame, names: list[str]) -> DataFrame:
     """Conversations satisfying ALL named predicates — single groupBy pass
-    regardless of predicate count (one shuffle on conv_id)."""
+    regardless of predicate count (one shuffle on conv_id).
+
+    Duplicate names are collapsed (they would alias-collide in the single
+    aggregate pass and add nothing semantically — AND is idempotent)."""
+    deduped = list(dict.fromkeys(names))
+    if not deduped:
+        raise ValueError(
+            "qualifying_conversations needs at least one predicate name; "
+            f"registered: {sorted(_SPECS)}"
+        )
+    unknown = [n for n in deduped if n not in _SPECS]
+    if unknown:
+        raise ValueError(
+            f"unknown predicate(s) {unknown}; registered: {sorted(_SPECS)}"
+        )
     aggs, conds = [], None
-    for n in names:
+    for n in deduped:
         a, c = _SPECS[n]()
         aggs.extend(a)
         conds = c if conds is None else (conds & c)

@@ -17,14 +17,17 @@ from pyspark.sql import functions as F
 def sessionize(transcripts: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Assign ``session_id`` (int, 0-based per conv) and ``window_start``
     (min ts of the session) to every turn. New session when the gap from
-    the previous turn exceeds ``gap_seconds`` (shape 12, FIXTURES.md)."""
+    the previous turn STRICTLY exceeds ``gap_seconds`` — matching JVM
+    ``session_window``, which merges touching windows (an event at exactly
+    last + gap stays in the session; pinned by the exact-boundary parity
+    test). Microsecond precision, same as the kernel path (shape 12,
+    FIXTURES.md)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     gapped = transcripts.withColumn(
         "_new",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_seconds,
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > gap_seconds * 1_000_000,
             1,
         ).otherwise(0),
     )

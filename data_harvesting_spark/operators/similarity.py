@@ -237,22 +237,27 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
+    max_train_rows: int | None = None,
 ) -> np.ndarray:
-    """Coarse quantizer: KMeans over a (seeded) sample, driver-side.
+    """Coarse quantizer: KMeans over a BOUNDED seeded sample, driver-side.
 
-    The trained object is tiny (n_cells × dim floats) and broadcast; at
-    100 TB the sample is a bounded `sample(fraction)` scan, the train cost
-    is independent of corpus size.
+    The driver collect is capped at ``max_train_rows`` (default
+    ``n_cells * 256``) no matter the corpus size — the trainer never pulls
+    more than a fixed number of rows, so its cost is independent of corpus
+    size (a 100 TB corpus trains on the same few thousand vectors). The
+    trained object is tiny (n_cells × dim floats) and broadcast.
     """
     from data_harvesting_spark.operators.clustering import _kmeans_numpy
 
+    cap = max_train_rows if max_train_rows is not None else n_cells * 256
     s = embeddings.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    x = np.stack(s.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    # hard bound on the driver-side collect, always
+    x = np.stack(s.limit(cap).toPandas()[vec_col].to_numpy()).astype(np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     _, centroids, _ = _kmeans_numpy(x, n_cells, seed)
     norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -265,10 +270,11 @@ def cosine_topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest-centroid cell
     (inverted file); each query probes its nprobe nearest cells and exact-
@@ -281,7 +287,7 @@ def cosine_topk_ivf(
     from pyspark.sql import Window
 
     centroids = train_ivf_centroids(
-        embeddings, n_cells, sample_fraction, seed, vec_col
+        embeddings, n_cells, sample_fraction, seed, vec_col, max_train_rows
     )
     assign1 = _assign_cells_udf(centroids, 1)
     corpus = embeddings.select(

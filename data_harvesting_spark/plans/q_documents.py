@@ -327,7 +327,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
         F.current_timestamp().alias("ts"),
     )
-    return extract_features(media)
+    # Scalarize the array column for the driver's canonicalizer (it sorts /
+    # hashes pandas frames, and python lists aren't hashable). The operator
+    # itself keeps the typed array<string> output.
+    return extract_features(media).withColumn(
+        "features", F.concat_ws("|", "features")
+    )
 
 
 _TOKENS_SQL = r"""
@@ -370,7 +375,19 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("string").alias("grp"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    return cluster_groups(emb, "grp", "v", k=3)
+    out = cluster_groups(emb, "grp", "v", k=3)
+    # Driver-canonicalizer-friendly projection: arrays aren't hashable in
+    # pandas sorts, so emit the centroid as a rounded string. The operator
+    # keeps the typed array<double> centroid.
+    return out.select(
+        "group_key",
+        "cluster_id",
+        "n_members",
+        F.concat_ws(
+            ",", F.transform("centroid", lambda c: F.format_string("%.6f", c))
+        ).alias("centroid_str"),
+        F.round("inertia", 6).alias("inertia"),
+    )
 
 
 @register("ann_ivf_topk", None)

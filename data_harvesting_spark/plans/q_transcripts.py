@@ -155,9 +155,9 @@ def q_label_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 , gapped AS (
   SELECT conv_id, turn_idx, ts,
-         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                 - LAG(CAST(floor(epoch(ts)) AS BIGINT))
-                   OVER (PARTITION BY conv_id ORDER BY turn_idx) > 1800
+         CASE WHEN epoch_us(ts)
+                 - LAG(epoch_us(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM transcripts
 ),
@@ -297,7 +297,7 @@ def q_topk_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     _with_t(
         """
 SELECT conv_id,
-       COALESCE(SUM(gap), 0) AS total_latency_us,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_latency_us,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM (
   SELECT conv_id,
@@ -507,16 +507,108 @@ def q_salted_tool_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- kernel (M4)
-@register("curate_sessions_kernel", None)
+# Oracle for the sessionized kernel under the default config (conversation-
+# scope cap, no suppression): gap-sessionize → per-session dedup + as-of
+# correlation + first-response + non-empty condition → per-CONVERSATION
+# cumulative numbering/cap across sessions in time order. The kernel dedups
+# on xxhash64(norm_text); the oracle on norm_text itself — identical modulo
+# a ~2^-65-per-pair hash collision (see operators/curate.py).
+_SESSIONS_KERNEL_ORACLE = _with_t(
+    """
+, norm AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text
+  FROM transcripts
+),
+gapped AS (
+  SELECT *, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                 > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM norm
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gapped
+),
+ws AS (
+  SELECT *, min(ts) OVER (PARTITION BY conv_id, sid) AS window_start FROM sess
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, sid, norm_text
+                                 ORDER BY turn_idx) AS rn
+    FROM ws) t WHERE rn = 1
+),
+tagged AS (
+  SELECT *,
+    MAX(CASE WHEN role='assistant' AND tool IS NOT NULL THEN turn_idx END)
+      OVER (PARTITION BY conv_id, sid, tool ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_call_idx
+  FROM dedup
+),
+resps AS (
+  SELECT conv_id, sid, window_start, prev_call_idx AS call_turn_idx,
+         turn_idx AS response_turn_idx, tool, text AS response_text
+  FROM tagged
+  WHERE role='tool' AND tool IS NOT NULL AND prev_call_idx IS NOT NULL
+),
+pairs AS (
+  SELECT r.conv_id, r.sid, r.window_start, r.call_turn_idx,
+         r.response_turn_idx, r.tool, r.response_text, c.text AS call_text
+  FROM resps r
+  JOIN dedup c ON r.conv_id = c.conv_id AND r.sid = c.sid
+              AND r.call_turn_idx = c.turn_idx
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, sid, call_turn_idx
+                                 ORDER BY response_turn_idx) AS rn2
+    FROM pairs) t WHERE rn2 = 1
+),
+cond AS (
+  SELECT * FROM firsts
+  WHERE call_text IS NOT NULL AND length(trim(call_text)) > 0
+    AND response_text IS NOT NULL AND length(trim(response_text)) > 0
+),
+numbered AS (
+  SELECT conv_id, window_start,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+              ORDER BY sid, call_turn_idx, response_turn_idx) - 1 AS INT)
+           AS example_idx,
+         CAST(call_turn_idx AS INT) AS call_turn_idx,
+         CAST(response_turn_idx AS INT) AS response_turn_idx,
+         tool, call_text, response_text
+  FROM cond
+)
+SELECT conv_id, epoch_us(window_start) AS window_start_us, example_idx,
+       call_turn_idx, response_turn_idx, tool, call_text, response_text
+FROM numbered WHERE example_idx < 100
+"""
+)
+
+
+@register("curate_sessions_kernel", _SESSIONS_KERNEL_ORACLE)
 def q_curate_sessions_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionized curate via the shared batch/stream kernel (rows-only:
-    stream parity is pinned by tests/test_streaming.py instead of SQL —
-    per-session cap/suppression state is not SQL-expressible)."""
+    """Sessionized curate via the shared batch/stream kernel (W5 core),
+    oracle-checked under the default conversation-scope config. The
+    engine-specific ``text_hash`` column is dropped and ``window_start``
+    integerized for the cross-engine compare."""
     from data_harvesting_spark.config import HarvestConfig
     from data_harvesting_spark.operators.curate_sessions import curate_sessions
 
     t = load_transcripts_from_events(spark, sf_dir)
-    return curate_sessions(t, HarvestConfig(session_gap="30 minutes"))
+    out = curate_sessions(t, HarvestConfig(session_gap="30 minutes"))
+    return out.select(
+        "conv_id",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "example_idx",
+        "call_turn_idx",
+        "response_turn_idx",
+        "tool",
+        "call_text",
+        "response_text",
+    )
 
 
 # ---------------------------------------------------------------- §2.6 strings

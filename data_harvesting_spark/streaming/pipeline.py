@@ -59,7 +59,7 @@ def start_curate_job(
     """
     from data_harvesting_spark.config import validate_config
 
-    validate_config(cfg)  # J4 registration-integrity analog
+    validate_config(cfg, streaming_runner="kernel")  # J4 analog
     assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
     os.makedirs(cfg.sink_path, exist_ok=True)
     sink_fn = sink_for(cfg.sink_format)
@@ -188,6 +188,105 @@ def run_sessionized_stream_to_completion(
     return spark.read.parquet(cfg.sink_path)
 
 
+def _read_cap_ledger(spark: SparkSession, ledger_path: str, epoch_id: int):
+    """Latest cap-ledger snapshot strictly before ``epoch_id`` (None if
+    none). Snapshots are per-epoch dirs so a replayed epoch re-reads the
+    exact pre-state it saw the first time — idempotent under W7 replay."""
+    import re
+
+    if not os.path.isdir(ledger_path):
+        return None
+    ks = []
+    for d in os.listdir(ledger_path):
+        m = re.match(r"_epoch=(\d+)$", d)
+        if m and int(m.group(1)) < epoch_id:
+            ks.append(int(m.group(1)))
+    if not ks:
+        return None
+    return spark.read.parquet(os.path.join(ledger_path, f"_epoch={max(ks)}"))
+
+
+def _cap_with_ledger(
+    turns: DataFrame, cfg, epoch_id: int, ledger_path: str
+) -> DataFrame:
+    """Conversation-scope P9 cap + W3 numbering for the session-window
+    runner, exact across micro-batches.
+
+    Sessions of one conversation close over multiple batches; the
+    cumulative pairs-emitted count per conversation lives in a tiny ledger
+    (one row per conversation), snapshotted per epoch next to the sink:
+
+      epoch N reads snapshot N-1 → offsets; numbers this batch's pairs per
+      conversation in (window_start, call, response) order starting at the
+      offset; keeps ``example_idx < max_pairs_per_conv``; writes snapshot N
+      (overwrite) = snapshot N-1 merged with this batch's kept counts.
+
+    Replay of epoch N (crash before checkpoint commit) re-reads the
+    unchanged snapshot N-1 and overwrites snapshot N with identical content
+    — exactly-once composes with the idempotent sink. At production scale
+    the ledger becomes an Iceberg table and the snapshot merge a MERGE
+    INTO; the per-epoch cost is O(conversations seen), not O(sink size).
+    """
+    from pyspark.sql import Window
+
+    from data_harvesting_spark.functions.text import text_hash
+    from data_harvesting_spark.operators.curate import curate_keyed_pairs
+
+    spark = turns.sparkSession
+    keys = ("conv_id", "window_start")
+    pairs = curate_keyed_pairs(turns, cfg, keys)
+    prior = _read_cap_ledger(spark, ledger_path, epoch_id)
+    w = Window.partitionBy("conv_id").orderBy(
+        "window_start", "call_turn_idx", "response_turn_idx"
+    )
+    numbered = pairs.withColumn("_pos", F.row_number().over(w) - 1)
+    if prior is not None:
+        numbered = numbered.join(
+            prior.withColumnRenamed("emitted", "_off"), "conv_id", "left"
+        )
+    else:
+        numbered = numbered.withColumn("_off", F.lit(0))
+    numbered = numbered.withColumn(
+        "example_idx",
+        (F.col("_pos") + F.coalesce(F.col("_off"), F.lit(0))).cast("int"),
+    )
+    if cfg.max_pairs_per_conv > 0:
+        numbered = numbered.where(F.col("example_idx") < cfg.max_pairs_per_conv)
+    curated = numbered.select(
+        *keys,
+        "example_idx",
+        "call_turn_idx",
+        "response_turn_idx",
+        "tool",
+        "call_text",
+        "response_text",
+        text_hash(F.col("response_text")).alias("text_hash"),
+    )
+    curated = curated.persist()
+    counts = curated.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("_new")
+    )
+    if prior is not None:
+        snapshot = (
+            prior.join(counts, "conv_id", "full_outer")
+            .select(
+                "conv_id",
+                (
+                    F.coalesce(F.col("emitted"), F.lit(0))
+                    + F.coalesce(F.col("_new"), F.lit(0))
+                ).cast("long").alias("emitted"),
+            )
+        )
+    else:
+        snapshot = counts.select(
+            "conv_id", F.col("_new").cast("long").alias("emitted")
+        )
+    snapshot.write.mode("overwrite").parquet(
+        os.path.join(ledger_path, f"_epoch={epoch_id}")
+    )
+    return curated
+
+
 def start_curate_job_session_window(
     spark: SparkSession,
     source_dir: str,
@@ -210,10 +309,11 @@ def start_curate_job_session_window(
     from data_harvesting_spark.config import validate_config
     from data_harvesting_spark.operators.curate import curate_keyed
 
-    validate_config(cfg)
+    validate_config(cfg, streaming_runner="session_window")
     assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
     os.makedirs(cfg.sink_path, exist_ok=True)
     sink_fn = sink_for(cfg.sink_format)
+    ledger_path = cfg.sink_path.rstrip("/") + ".capledger"
     stream = read_transcript_stream(spark, source_dir)
 
     closed_sessions = (
@@ -236,8 +336,16 @@ def start_curate_job_session_window(
         turns = df.select(
             "conv_id", "window_start", F.explode("turns").alias("t")
         ).select("conv_id", "window_start", "t.*")
-        curated = curate_keyed(turns, cfg)
-        sink_fn(curated, epoch_id, cfg.sink_path)
+        if cfg.cap_scope == "conversation":
+            # cumulative per-conversation budget + numbering across batches
+            curated = _cap_with_ledger(turns, cfg, epoch_id, ledger_path)
+            try:
+                sink_fn(curated, epoch_id, cfg.sink_path)
+            finally:
+                curated.unpersist()
+        else:
+            curated = curate_keyed(turns, cfg)
+            sink_fn(curated, epoch_id, cfg.sink_path)
 
     writer = (
         closed_sessions.writeStream.outputMode("append")

@@ -18,8 +18,12 @@ same gap-splitting), exactly-once when paired with the idempotent sink
 keyed (conv_id, window_start) (sink.py), and bounded state (sessions close
 as the watermark advances; RocksDB absorbs hot conversations).
 
-Spark pre-drops rows later than the watermark (W2/W6); dropped-late counts
-surface via StreamingQueryProgress (metrics.py).
+Late-data policy (W2/W6): unlike JVM windowed aggregations,
+``applyInPandasWithState`` does NOT pre-filter rows older than the
+watermark — the handler itself drops beyond-watermark rows and counts them
+in an accumulator (pinned by
+tests/test_streaming.py::test_late_drop_counted_in_metrics and surfaced
+through metrics.py).
 """
 
 from __future__ import annotations
@@ -46,6 +50,8 @@ from data_harvesting_spark.operators.kernel import curate_session, split_session
 from data_harvesting_spark.schema import CURATED_SCHEMA
 
 # state = column-wise session buffer (ArrayType fields, RocksDB-friendly)
+# + the conversation-scope cap cursor (P9 budget spent so far + P10
+# suppression watermark), carried across this conversation's session closes
 STATE_SCHEMA = StructType(
     [
         StructField("turn_idx", ArrayType(IntegerType()), True),
@@ -54,12 +60,25 @@ STATE_SCHEMA = StructType(
         StructField("tool", ArrayType(StringType()), True),
         StructField("ts_us", ArrayType(LongType()), True),
         StructField("text_hash", ArrayType(LongType()), True),
+        StructField("emitted", LongType(), True),
+        StructField("suppress_until", LongType(), True),
     ]
 )
 
+_EMPTY_BUFFER = ([], [], [], [], [], [])
+
+
+def _carry_of(state_tuple: tuple) -> dict:
+    emitted = state_tuple[6] if len(state_tuple) > 6 else None
+    sup = state_tuple[7] if len(state_tuple) > 7 else None
+    return {
+        "emitted": int(emitted) if emitted is not None else 0,
+        "suppress_until": int(sup) if sup is not None else -1,
+    }
+
 
 def _buffer_to_pdf(conv_id: str, state_tuple: tuple) -> pd.DataFrame:
-    turn_idx, role, text, tool, ts_us, text_hash = state_tuple
+    turn_idx, role, text, tool, ts_us, text_hash = state_tuple[:6]
     return pd.DataFrame(
         {
             "conv_id": np.repeat(conv_id, len(turn_idx)),
@@ -96,6 +115,8 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
     """
     gap_s = parse_duration_seconds(cfg.session_gap)
     gap_ms = int(gap_s * 1000)
+    conv_scope = cfg.cap_scope == "conversation"
+    retention_ms = int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -103,12 +124,34 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
         conv_id = key[0]
 
         if state.hasTimedOut:
-            buf = _buffer_to_pdf(conv_id, state.get)
-            state.remove()
+            tup = state.get
+            buf = _buffer_to_pdf(conv_id, tup)
+            carry = _carry_of(tup)
+            if len(buf) == 0:
+                # counters-only tombstone expired (conversation-scope cap
+                # cursor past its retention) — forget the conversation
+                state.remove()
+                return
             for sess in split_sessions(buf, gap_s):
-                out = curate_session(sess, cfg)
+                out = curate_session(sess, cfg, carry if conv_scope else None)
                 if len(out):
                     yield out
+            if conv_scope and carry["emitted"] > 0:
+                # keep the cap cursor so a session arriving within the
+                # retention window continues the conversation's budget
+                # instead of restarting at 0 (exact batch parity for
+                # inter-session gaps < cap_state_retention)
+                last_ms = buf["ts"].max().value // 1_000_000
+                wm = state.getCurrentWatermarkMs()
+                state.update(
+                    _EMPTY_BUFFER
+                    + (carry["emitted"], carry["suppress_until"])
+                )
+                state.setTimeoutTimestamp(
+                    max(last_ms + gap_ms + retention_ms, wm + 1)
+                )
+            else:
+                state.remove()
             return
 
         new = pd.concat(list(pdfs), ignore_index=True)
@@ -127,30 +170,52 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
                 if len(new) == 0 and not state.exists:
                     return
         if state.exists:
-            buf = pd.concat(
-                [_buffer_to_pdf(conv_id, state.get), new], ignore_index=True
-            )
+            tup = state.get
+            carry = _carry_of(tup)
+            buf = pd.concat([_buffer_to_pdf(conv_id, tup), new], ignore_index=True)
         else:
+            carry = {"emitted": 0, "suppress_until": -1}
             buf = new
 
+        # closed sessions are a time-ordered prefix (earlier session ⇒
+        # earlier end), so threading the conversation-scope carry through
+        # them in order reproduces the batch kernel's cumulative budget
         sessions = split_sessions(buf, gap_s)
         wm_ms = state.getCurrentWatermarkMs()
         keep: list[pd.DataFrame] = []
         for sess in sessions:
             end_ms = sess["ts"].max().value // 1_000_000
-            if wm_ms > 0 and end_ms + gap_ms <= wm_ms:
-                out = curate_session(sess, cfg)  # closed: no earlier-than-
-                if len(out):                     # watermark turn can arrive
+            # strict <: an admissible event at ts == watermark == end + gap
+            # would still MERGE into this session (JVM merges touching
+            # windows), so the session is only closed once wm is past it
+            if not keep and wm_ms > 0 and end_ms + gap_ms < wm_ms:
+                out = curate_session(  # closed: no earlier-than-
+                    sess, cfg, carry if conv_scope else None
+                )
+                if len(out):  # watermark turn can arrive
                     yield out
             else:
                 keep.append(sess)
 
         if keep:
             remaining = pd.concat(keep, ignore_index=True)
-            state.update(_pdf_to_buffer(remaining))
+            state.update(
+                _pdf_to_buffer(remaining)
+                + (carry["emitted"], carry["suppress_until"])
+            )
             last_ms = remaining["ts"].max().value // 1_000_000
             # fire once the watermark passes session end + gap
             state.setTimeoutTimestamp(max(last_ms + gap_ms, wm_ms + 1))
+        elif conv_scope and carry["emitted"] > 0:
+            last_ms = (
+                buf["ts"].max().value // 1_000_000 if len(buf) else wm_ms
+            )
+            state.update(
+                _EMPTY_BUFFER + (carry["emitted"], carry["suppress_until"])
+            )
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms + retention_ms, wm_ms + 1)
+            )
         else:
             state.remove()
 

@@ -247,3 +247,38 @@ def test_small_dim_join_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_predicate_registry_guards(spark, transcripts_df):
+    """Empty / unknown predicate lists fail fast with a clear error;
+    duplicate names collapse instead of alias-colliding."""
+    import pytest
+
+    from data_harvesting_spark.operators.predicates import (
+        qualifying_conversations,
+    )
+
+    with pytest.raises(ValueError, match="at least one predicate"):
+        qualifying_conversations(transcripts_df, [])
+    with pytest.raises(ValueError, match="unknown predicate"):
+        qualifying_conversations(transcripts_df, ["nope"])
+    once = qualifying_conversations(
+        transcripts_df, ["exists_tool_pair"]
+    ).toPandas()
+    twice = qualifying_conversations(
+        transcripts_df, ["exists_tool_pair", "exists_tool_pair"]
+    ).toPandas()
+    assert sorted(once["conv_id"]) == sorted(twice["conv_id"])
+
+
+def test_ivf_trainer_bounded_collect(spark):
+    """The IVF coarse-quantizer never collects more than the fixed cap to
+    the driver, regardless of corpus size."""
+    from data_harvesting_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c = train_ivf_centroids(emb, n_cells=4, max_train_rows=64)
+    assert c.shape[0] <= 4
+    # and the default cap is n_cells * 256 — small relative to any corpus
+    c2 = train_ivf_centroids(emb, n_cells=4)
+    assert c2.shape == c.shape

@@ -332,6 +332,221 @@ def test_suppression_parity_across_runners(spark, fixture_batches, tmp_path):
     assert len(got) > 0
 
 
+def _multisession_frame() -> pd.DataFrame:
+    """Multi-session-per-conversation fixture (cap-scope semantics):
+
+    - mc0..mc3: 3 sessions × 3 curate-able pairs, sessions 2 h apart —
+      a conversation-scope cap of 4 must bind ACROSS sessions.
+    - mc-b: sessions separated by EXACTLY the 30-min gap — pins the
+      boundary semantics (JVM session_window MERGES touching windows, so
+      an event at exactly last + gap stays in the session) on every path.
+    - mc-tiny: a 1-pair session then a 3-pair session (session-scope
+      min-gate fixture).
+    """
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def emit(conv, sess_starts, pairs_per_session):
+        idx = 0
+        for s, (t0, n_pairs) in enumerate(zip(sess_starts, pairs_per_session)):
+            for p in range(n_pairs):
+                t = t0 + pd.Timedelta(seconds=20 * p)
+                rows.append((conv, idx, "assistant", f"call {s}-{p} {conv}",
+                             "search", t, s))
+                idx += 1
+                rows.append((conv, idx, "tool", f"result {s}-{p} {conv}",
+                             "search", t + pd.Timedelta(seconds=10), s))
+                idx += 1
+
+    for c in range(4):
+        # last event of a 3-pair session is start + 50 s
+        starts = [base, base + pd.Timedelta(hours=2),
+                  base + pd.Timedelta(hours=4)]
+        emit(f"mc{c}", starts, [3, 3, 3])
+    # exact-boundary conv: next session starts at last_event + exactly 1800 s
+    b0 = base
+    b1 = b0 + pd.Timedelta(seconds=50 + 1800)
+    b2 = b1 + pd.Timedelta(seconds=50 + 1800)
+    emit("mc-b", [b0, b1, b2], [3, 3, 3])
+    emit("mc-tiny", [base, base + pd.Timedelta(hours=2)], [1, 3])
+
+    df = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "sess"],
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+@pytest.fixture(scope="module")
+def multisession_batches(tmp_path_factory):
+    """One file per session index (+ flush) so sessions of one conversation
+    close in DIFFERENT micro-batches — exercises the cross-batch cap state
+    (kernel) and cap ledger (session-window runner)."""
+    import time as _time
+
+    d = tmp_path_factory.mktemp("multisession_src")
+    df = _multisession_frame()
+    now = _time.time()
+    for s in range(3):
+        p = str(d / f"b{s}.parquet")
+        write_parquet_us(
+            df[df["sess"] == s].drop(columns="sess"), p
+        )
+        os.utime(p, (now + s, now + s))  # force file arrival order
+    flush = pd.DataFrame(
+        {
+            "conv_id": ["conv-flush"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["flush"],
+            "tool": ["flush"],
+            "ts": [df["ts"].max() + pd.Timedelta(hours=6)],
+        }
+    )
+    p = str(d / "zz-flush.parquet")
+    write_parquet_us(flush, p)
+    os.utime(p, (now + 5, now + 5))
+    return str(d)
+
+
+def test_conversation_cap_parity_all_paths(spark, multisession_batches, tmp_path):
+    """cap_scope='conversation' (reference semantics: per video = per
+    conversation, harvest_service.py:175): a cap of 4 with 9 pairs spread
+    over 3 sessions emits exactly 4 per conversation, numbered cumulatively
+    across sessions — identically in all four implementations (batch
+    kernel, declarative keyed, stateful-kernel stream, session-window
+    stream with cap ledger). Also pins the exact-gap boundary (mc-b)."""
+    from data_harvesting_spark.operators.curate import curate_keyed
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.operators.sessionize import sessionize
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        run_sessionized_stream_to_completion,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path / "kern"), max_pairs_per_conv=4)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+
+    # semantics assertions on the reference implementation first
+    for conv in ["mc0", "mc1", "mc2", "mc3", "mc-b"]:
+        g = want[want["conv_id"] == conv]
+        assert len(g) == 4, f"{conv}: cap must bind across sessions"
+        assert sorted(g["example_idx"]) == [0, 1, 2, 3]
+    for conv in ["mc0", "mc1", "mc2", "mc3"]:
+        g = want[want["conv_id"] == conv]
+        assert g["window_start"].nunique() >= 2, (
+            f"{conv}: budget must span sessions"
+        )
+    # exact-boundary conv: gap == session_gap MERGES (JVM session_window
+    # merges touching windows; batch paths must agree — strict >)
+    sess = sessionize(t, gap_seconds=1800)
+    nb = (
+        sess.where(sess.conv_id == "mc-b")
+        .select("window_start")
+        .distinct()
+        .count()
+    )
+    assert nb == 1, "gap == session_gap must MERGE (JVM touch-merge)"
+
+    # 1. declarative keyed pipeline
+    keyed_in = sess.select(
+        "conv_id", "window_start", "turn_idx", "role", "text", "tool", "ts"
+    )
+    got_keyed = curate_keyed(keyed_in, cfg).toPandas()
+    got_keyed = got_keyed[got_keyed["conv_id"] != "conv-flush"]
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+    pd.testing.assert_frame_equal(_canon(got_keyed[cols]), _canon(want[cols]))
+
+    # 2. stateful-kernel streaming (cap cursor in state)
+    got_kernel = run_sessionized_stream_to_completion(
+        spark, multisession_batches, cfg
+    ).toPandas()
+    got_kernel = got_kernel[got_kernel["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(
+        _canon(got_kernel[cols]), _canon(want[cols])
+    )
+
+    # 3. session-window streaming (cross-batch cap ledger)
+    cfg_sw = _cfg(str(tmp_path / "sw"), max_pairs_per_conv=4)
+    q = start_curate_job_session_window(
+        spark, multisession_batches, cfg_sw, available_now=False
+    )
+    drain(q)
+    got_sw = read_epoch_sink(spark, cfg_sw.sink_path).toPandas()
+    got_sw = got_sw[got_sw["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got_sw[cols]), _canon(want[cols]))
+
+
+def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
+    """Session-scope min gate (P8): a 1-pair session is dropped when
+    min_pairs_per_conv=2, identically in the kernel and the declarative
+    keyed pipeline (ADVICE: curate_keyed previously ignored the gate)."""
+    from data_harvesting_spark.operators.curate import curate_keyed
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.operators.sessionize import sessionize
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    cfg = _cfg(str(tmp_path), cap_scope="session", min_pairs_per_conv=2)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    tiny = want[want["conv_id"] == "mc-tiny"]
+    assert tiny["window_start"].nunique() == 1, "1-pair session must be gated"
+    assert len(tiny) == 3
+
+    sess = sessionize(t, gap_seconds=1800).select(
+        "conv_id", "window_start", "turn_idx", "role", "text", "tool", "ts"
+    )
+    got = curate_keyed(sess, cfg).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+
+
+def test_streaming_config_rejections(tmp_path):
+    """Combinations a streaming architecture cannot implement exactly are
+    rejected up front instead of silently diverging from batch."""
+    from data_harvesting_spark.config import ConfigError, validate_config
+
+    base = dict(
+        sink_path=str(tmp_path / "s"), checkpoint_dir=str(tmp_path / "c")
+    )
+    with pytest.raises(ConfigError):
+        validate_config(
+            HarvestConfig(min_pairs_per_conv=2, **base),
+            streaming_runner="kernel",
+        )
+    with pytest.raises(ConfigError):
+        validate_config(
+            HarvestConfig(suppress_turns_after_emit=3, **base),
+            streaming_runner="session_window",
+        )
+    with pytest.raises(ConfigError):
+        validate_config(HarvestConfig(cap_scope="bogus", **base))
+    # fine: kernel carries the suppression cursor in state
+    validate_config(
+        HarvestConfig(suppress_turns_after_emit=3, **base),
+        streaming_runner="kernel",
+    )
+    # fine: session scope closes atomically
+    validate_config(
+        HarvestConfig(cap_scope="session", min_pairs_per_conv=2, **base),
+        streaming_runner="session_window",
+    )
+
+
 def test_late_drop_counted_in_metrics(spark, tmp_path):
     """W6: rows dropped beyond the watermark surface in progress metrics
     (numRowsDroppedByWatermark) — the reference has no late-data concept,
