@@ -50,21 +50,61 @@ def _kmeans_numpy(x: np.ndarray, k: int, seed: int, n_iter: int = 20):
     return labels, centroids, inertia
 
 
+def elbow_k(
+    x: np.ndarray,
+    k_min: int = 1,
+    k_max: int = 8,
+    seed: int = 42,
+    n_iter: int = 20,
+) -> int:
+    """Elbow-method k selection (reference semantics: KMeans over
+    min_clusters..max_clusters, pick the inertia-curve knee —
+    `/root/reference/utils/ColorDetector.py:93-119` via
+    ColorPrediction.find_main_colors).
+
+    Deterministic knee: the k whose (k, inertia) point lies farthest below
+    the chord from (k_min, inertia_min) to (k_max, inertia_max). Degenerate
+    curves (flat inertia — e.g. identical points) fall back to k_min.
+    """
+    k_max = min(k_max, len(x))
+    if k_max <= k_min:
+        return max(1, min(k_min, len(x)))
+    ks = list(range(k_min, k_max + 1))
+    inertias = [float(_kmeans_numpy(x, k, seed, n_iter)[2]) for k in ks]
+    i0, i1 = inertias[0], inertias[-1]
+    if i0 <= i1 or i0 == 0:
+        return k_min
+    best_k, best_d = ks[0], -1.0
+    for k, inr in zip(ks, inertias):
+        # vertical distance below the chord, on a normalized inertia scale
+        chord = i0 + (i1 - i0) * (k - ks[0]) / (ks[-1] - ks[0])
+        d = (chord - inr) / i0
+        if d > best_d:
+            best_k, best_d = k, d
+    return best_k
+
+
 def cluster_groups(
     df: DataFrame,
     group_col: str,
     vec_col: str,
     k: int = 4,
     seed: int = 42,
+    k_mode: str = "fixed",
+    k_min: int = 1,
+    k_max: int = 8,
 ) -> DataFrame:
     """Per-group KMeans: one row per (group, cluster) with centroid +
     member count + total inertia — the A4/A5 "dominant mode" shape over
-    continuous vectors."""
+    continuous vectors. ``k_mode='elbow'`` selects k per group by the
+    deterministic elbow over [k_min, k_max] (reference semantics);
+    ``'fixed'`` uses ``k``."""
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = str(pdf[group_col].iloc[0])
         x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-        labels, centroids, inertia = _kmeans_numpy(x, k, seed)
+        kk = elbow_k(x, k_min, k_max, seed) if k_mode == "elbow" else k
+        labels, centroids, inertia = _kmeans_numpy(x, kk, seed)
         rows = []
         for j in range(len(centroids)):
             m = labels == j

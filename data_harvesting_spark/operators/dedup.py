@@ -198,15 +198,30 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
+def simhash64(
+    documents: DataFrame, bits: int = 64, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """SimHash fingerprint per doc: sign-aggregated token-hash bits.
 
-    JVM-side: explode tokens, xxhash64, per-bit ±1 vote via bit arithmetic,
-    reassemble. ``bits=16`` keeps the oracle-portable variant cheap.
+    JVM-side: explode tokens, hash, per-bit ±1 vote via bit arithmetic,
+    reassemble. ``hash_mode='xxhash64'`` is the scale path;
+    ``'rank'`` (dense_rank token ids mixed with ``(wid*a+b) % p``) is
+    engine-portable for the DuckDB oracle — same trick as MinHash rank
+    mode, global sort barrier, oracle-only. With rank mode use
+    ``bits <= 31`` (the mix stays under 2^31).
     """
     toks = normalize_docs(documents).select(
         "doc_id", F.explode(F.split("norm_text", " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    )
+    if hash_mode == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("w"))
+    else:
+        ids = toks.select("w").distinct().withColumn(
+            "wid", F.dense_rank().over(Window.orderBy("w")).cast("bigint")
+        )
+        toks = toks.join(ids, "w").withColumn(
+            "h", (F.col("wid") * _A[0] + _B[0]) % MINHASH_PRIME
+        )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
@@ -224,13 +239,13 @@ def simhash64(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
-                       bits: int = 64) -> DataFrame:
+                       bits: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Scale path: block on bit-chunks (pigeonhole — any pair within distance
     d shares at least one of d+1 chunks) instead of the full cross join.
     """
-    fp = simhash64(documents, bits)
+    fp = simhash64(documents, bits, hash_mode)
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     chunks = fp.select(
@@ -254,5 +269,31 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def fingerprint_rank(documents: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+    """Engine-portable winnowing-style fingerprint: the ``k``
+    lexicographically-smallest mixed shingle hashes, joined into a string.
+
+    Shingle ids via global dense_rank (oracle-portable; sort barrier —
+    oracle-only), mixed with ``(sid*a+b) % p``. The scale path is the pure
+    JVM ``functions.text.fingerprint`` (xxhash64, no global sort). Docs
+    with fewer than ``n`` words have no shingles → NULL fp (both engines).
+    """
+    sh = _shingle_ids(word_shingles(documents, n), "rank")
+    fps = (
+        sh.withColumn("hv", (F.col("sid") * _A[1] + _B[1]) % MINHASH_PRIME)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("hv")), 1, k),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("fp")
+        )
+    )
+    return documents.select("doc_id").join(fps, "doc_id", "left")

@@ -279,15 +279,54 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- rows-only
-@register("simhash_near_dups", None)
+# ---------------------------------------------------------------- simhash
+# Oracle: same rank-mode bit mixing ((dense_rank(w)*a+b) % p) on both
+# engines; all-pairs hamming in SQL (fine at oracle scale) vs pigeonhole
+# chunk blocking in Spark (lossless for hamming <= max_hamming).
+_SIMHASH_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(norm_text, ' ')) AS w FROM norm),
+ids AS (
+  SELECT w, CAST(DENSE_RANK() OVER (ORDER BY w) AS BIGINT) AS wid
+  FROM (SELECT DISTINCT w FROM toks) t
+),
+hashed AS (
+  SELECT t.doc_id, (i.wid * 1103 + 12345) % 2147483647 AS h
+  FROM toks t JOIN ids i ON t.w = i.w
+),
+bitpos AS (SELECT j FROM range(16) r(j)),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN bitpos GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_near_dups", _SIMHASH_SQL)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64 fingerprints — not oracle-portable;
-    rows-only check; unit-tested for hamming correctness)."""
+    """SimHash near-dup pairs. ``hash_mode='rank'``/16-bit here for engine
+    portability (dense_rank token ids + affine mix — identical fingerprints
+    in DuckDB); production default is 64-bit xxhash64 with the same
+    pigeonhole chunk blocking (no global sort)."""
     from data_harvesting_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(docs, max_hamming=8)
+    return simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="rank")
 
 
 @register("ann_lsh_topk", None)
@@ -300,14 +339,40 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, k=5, n_planes=8)
 
 
-@register("doc_fingerprint", None)
+_FINGERPRINT_SQL = f"""
+WITH {_SHINGLE_SQL},
+ids AS (
+  SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM shingles) t
+),
+h AS (
+  SELECT s.doc_id, (i.sid * 12289 + 23456) % 2147483647 AS hv
+  FROM shingles s JOIN ids i ON s.shingle = i.shingle
+),
+topk AS (
+  SELECT doc_id, hv FROM (
+    SELECT doc_id, hv,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+    FROM h) t WHERE rn <= 8
+),
+fps AS (
+  SELECT doc_id, string_agg(CAST(hv AS STRING), '-' ORDER BY hv) AS fp
+  FROM topk GROUP BY doc_id
+)
+SELECT d.doc_id, f.fp FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style document fingerprint (xxhash64 of k smallest
-    shingles) — rows-only; stability unit-tested."""
-    from data_harvesting_spark.functions.text import fingerprint
+    """Winnowing-style document fingerprint: the 8 smallest mixed shingle
+    hashes. Rank mode here for oracle portability; the scale path is the
+    pure-JVM xxhash64 ``functions.text.fingerprint`` (no global sort),
+    stability unit-tested."""
+    from data_harvesting_spark.operators.dedup import fingerprint_rank
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", fingerprint("text").alias("fp"))
+    return fingerprint_rank(docs, k=8, n=3)
 
 
 @register("media_features", None)

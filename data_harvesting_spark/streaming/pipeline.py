@@ -135,6 +135,88 @@ def start_rates_job(
     return writer.start()
 
 
+def latency_pairs(transcripts: DataFrame, watermark_delay: str,
+                  max_gap: str = "2 hours") -> DataFrame:
+    """Adjacent-turn latency via a (stream-stream-capable) self-join:
+    turn k joins turn k-1 of the same conversation under an event-time
+    range bound (A8 in the streaming surface; the bound lets Spark expire
+    join state — adjacent turns further apart than ``max_gap`` are not
+    latency-paired, identically in batch and stream).
+
+    Works unchanged on a static DataFrame (batch comparator) and on a
+    watermarked stream, where it is a stateful stream-stream join — the
+    north_star's flatMapGroupsWithState-free correlation path."""
+    cur = transcripts.select("conv_id", "turn_idx", "tool", "ts")
+    prev = transcripts.select(
+        F.col("conv_id").alias("p_conv"),
+        (F.col("turn_idx") + 1).alias("p_next"),
+        F.col("ts").alias("prev_ts"),
+    )
+    if transcripts.isStreaming:
+        cur = cur.withWatermark("ts", watermark_delay)
+        prev = prev.withWatermark("prev_ts", watermark_delay)
+    joined = cur.alias("c").join(
+        prev.alias("p"),
+        F.expr(
+            f"c.conv_id = p.p_conv AND c.turn_idx = p.p_next AND "
+            f"p.prev_ts BETWEEN c.ts - INTERVAL {max_gap} AND c.ts"
+        ),
+    )
+    return joined.select(
+        "tool",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("lat_us"),
+    )
+
+
+def latency_quantiles_windowed(lat: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per-(window, tool) p50/p95 latency via percentile_approx (t-digest
+    style sketch — mergeable, no global sort; exact below the accuracy
+    threshold, so small-fixture stream/batch parity is bytewise)."""
+    return (
+        lat.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), F.col("tool").alias("key"))
+        .agg(
+            F.percentile_approx("lat_us", F.lit(0.5), F.lit(10000)).alias("p50_us"),
+            F.percentile_approx("lat_us", F.lit(0.95), F.lit(10000)).alias("p95_us"),
+            F.count("lat_us").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+            "p50_us",
+            "p95_us",
+            "n",
+        )
+    )
+
+
+def start_latency_quantiles_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming per-tool latency quantiles (A8 × W4): stateful
+    stream-stream adjacent-turn join → watermark-closed tumbling windows →
+    mergeable quantile sketch. Two chained stateful operators, all JVM."""
+    stream = read_transcript_stream(spark, source_dir)
+    lat = latency_pairs(stream, cfg.watermark_delay)
+    rates = latency_quantiles_windowed(lat, window)
+    writer = (
+        rates.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, epoch: sink_for("epoch")(df, epoch, sink_path))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drain(q, idle_seconds: float = 3.0, timeout: float = 180.0) -> None:
     """Run a ProcessingTime-triggered query until it has consumed all
     available input AND gone idle (no batch progress) for ``idle_seconds``.
@@ -181,11 +263,14 @@ def run_sessionized_stream_to_completion(
     DataFrame."""
     q = start_curate_job(spark, source_dir, cfg, available_now=False)
     drain(q)
-    from data_harvesting_spark.streaming.sink import read_epoch_sink
+    from data_harvesting_spark.streaming.sink import (
+        read_epoch_sink,
+        read_merge_sink,
+    )
 
     if cfg.sink_format == "epoch":
         return read_epoch_sink(spark, cfg.sink_path)
-    return spark.read.parquet(cfg.sink_path)
+    return read_merge_sink(spark, cfg.sink_path)
 
 
 def _read_cap_ledger(spark: SparkSession, ledger_path: str, epoch_id: int):

@@ -24,11 +24,21 @@ A sink-format registry dispatches by name (reference factory pattern,
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CURATED_KEY = ["conv_id", "window_start"]
+
+# conv_id hash buckets partitioning the merge sink: an epoch rewrites ONLY
+# the buckets its batch touches, so per-epoch cost is O(touched buckets),
+# not O(total sink). More buckets = finer rewrite granularity.
+N_MERGE_BUCKETS = 64
+
+
+def _bucket_col():
+    return F.pmod(F.xxhash64("conv_id"), F.lit(N_MERGE_BUCKETS)).cast("int")
 
 
 def write_epoch(df: DataFrame, epoch_id: int, sink_path: str) -> None:
@@ -50,26 +60,51 @@ def read_epoch_sink(spark: SparkSession, sink_path: str) -> DataFrame:
 
 
 def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
-    """Keyed upsert emulation over parquet (single-writer streaming only).
+    """Keyed upsert emulation over parquet (single-writer streaming only),
+    partition-scoped: the sink is hash-bucketed by conv_id and an epoch
+    reads + rewrites ONLY the buckets its batch touches — per-epoch cost is
+    proportional to the touched slice, never the whole sink.
 
-    Production: MERGE INTO curated USING batch ON conv_id AND window_start
-    WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT.
+    Idempotent under W7 replay: re-running an epoch regenerates the same
+    merged bucket contents (anti-join on the curated key replaces, never
+    duplicates). Production: Iceberg ``MERGE INTO`` on the same key
+    (``write_iceberg_merge``); this is the jar-free local stand-in.
     """
     spark = df.sparkSession
-    batch = df.dropDuplicates(CURATED_KEY + ["example_idx"])
-    if os.path.exists(sink_path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(sink_path) for f in fs
-    ):
-        existing = spark.read.parquet(sink_path)
+    batch = df.dropDuplicates(CURATED_KEY + ["example_idx"]).withColumn(
+        "_bucket", _bucket_col()
+    )
+    touched = sorted(r[0] for r in batch.select("_bucket").distinct().collect())
+    if not touched:
+        return
+    has_existing = os.path.isdir(sink_path) and any(
+        d.startswith("_bucket=") for d in os.listdir(sink_path)
+    )
+    if has_existing:
+        # partition pruning limits the scan to touched bucket dirs
+        existing = spark.read.parquet(sink_path).where(
+            F.col("_bucket").isin(touched)
+        )
         keys = batch.select(*CURATED_KEY).distinct()
         keep = existing.join(keys, CURATED_KEY, "left_anti")
         merged = keep.unionByName(batch)
     else:
         merged = batch
     tmp = sink_path.rstrip("/") + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(sink_path)
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    os.makedirs(sink_path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"_bucket={b}")
+        dst = os.path.join(sink_path, f"_bucket={b}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_merge_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    return spark.read.parquet(sink_path).drop("_bucket")
 
 
 ICEBERG_MERGE_SQL = """

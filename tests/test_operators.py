@@ -282,3 +282,32 @@ def test_ivf_trainer_bounded_collect(spark):
     # and the default cap is n_cells * 256 — small relative to any corpus
     c2 = train_ivf_centroids(emb, n_cells=4)
     assert c2.shape == c.shape
+
+
+def test_elbow_k_selection(spark):
+    """A12 elbow semantics (reference ColorDetector find_main_colors): a
+    known-k synthetic mixture selects its true cluster count."""
+    import numpy as np
+    import pandas as pd
+
+    from data_harvesting_spark.operators.clustering import (
+        cluster_groups,
+        elbow_k,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    x = np.concatenate(
+        [c + 0.2 * rng.standard_normal((50, 2)) for c in centers]
+    )
+    assert elbow_k(x, 1, 8) == 3
+    # degenerate: identical points fall back to k_min
+    assert elbow_k(np.zeros((20, 2)), 1, 8) == 1
+
+    pdf = pd.DataFrame(
+        {"grp": ["g"] * len(x), "v": [list(map(float, r)) for r in x]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = cluster_groups(sdf, "grp", "v", k_mode="elbow").toPandas()
+    assert len(out) == 3
+    assert out["n_members"].sum() == len(x)

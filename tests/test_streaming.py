@@ -249,6 +249,45 @@ def test_rates_stream_equals_batch(spark, fixture_batches, tmp_path):
     assert len(got) > 0
 
 
+def test_latency_quantiles_stream_equals_batch(spark, fixture_batches, tmp_path):
+    """A8 in the streaming surface: the stateful stream-stream adjacent-
+    turn join + windowed percentile_approx emits exactly the batch result
+    of the same expressions once all windows close."""
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        latency_pairs,
+        latency_quantiles_windowed,
+        start_latency_quantiles_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    sink = str(tmp_path / "latq")
+    ckpt = str(tmp_path / "latq_ckpt")
+    q = start_latency_quantiles_job(
+        spark, fixture_batches, cfg, sink, ckpt, window="1 hour",
+        available_now=False,
+    )
+    drain(q)
+    got = read_epoch_sink(spark, sink).toPandas()
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    want = latency_quantiles_windowed(
+        latency_pairs(t, cfg.watermark_delay), "1 hour"
+    ).toPandas()
+    got = got[got["key"] != "flush"]
+    want = want[want["key"] != "flush"]
+    key = ["window_start", "key"]
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(key).reset_index(drop=True)
+    want = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
 def test_session_window_stream_equals_kernel_batch(spark, fixture_batches, tmp_path):
     """The JVM session-window streaming runner (scale path) emits the same
     curated set as the batch kernel runner — two independent streaming
@@ -624,3 +663,72 @@ def test_merge_sink_idempotent_replay(spark, fixture_batches, tmp_path):
     twice = spark.read.parquet(sink).toPandas()
     pd.testing.assert_frame_equal(_canon(once), _canon(twice))
     assert len(once) > 0
+
+
+def test_merge_sink_rewrites_only_touched_buckets(spark, fixture_batches, tmp_path):
+    """Scale posture of the merge sink: an epoch carrying one conversation
+    must leave every untouched bucket partition's files byte-identical on
+    disk (per-epoch cost O(touched), not O(sink))."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.sink import write_merge
+
+    cfg = _cfg(str(tmp_path), sink_format="parquet-merge")
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    curated = curate_sessions(t, cfg)
+    sink = str(tmp_path / "merged_scoped")
+    write_merge(curated, 0, sink)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(sink):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    one_conv = sorted(
+        r[0] for r in curated.select("conv_id").distinct().limit(1).collect()
+    )[0]
+    write_merge(curated.where(F.col("conv_id") == one_conv), 1, sink)
+    after = snapshot()
+
+    from data_harvesting_spark.streaming.sink import N_MERGE_BUCKETS, _bucket_col
+
+    touched_bucket = (
+        curated.where(F.col("conv_id") == one_conv)
+        .select(_bucket_col().alias("b"))
+        .distinct()
+        .collect()[0][0]
+    )
+    touched_dir = os.path.join(sink, f"_bucket={touched_bucket}")
+    unchanged = {p: m for p, m in before.items() if not p.startswith(touched_dir)}
+    for p, m in unchanged.items():
+        assert p in after and after[p] == m, f"untouched file rewritten: {p}"
+    assert any(p.startswith(touched_dir) for p in after)
+
+
+def test_iceberg_merge_sql_parses_and_gates(spark):
+    """The Iceberg MERGE path can't run here (no jars offline), but the
+    statement itself must be valid DSv2 SQL — parse it with vanilla
+    Spark's parser — and the writer must refuse clearly without the
+    extension instead of failing deep in py4j."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.streaming.sink import (
+        ICEBERG_MERGE_SQL,
+        write_iceberg_merge,
+    )
+
+    sql = ICEBERG_MERGE_SQL.format(table="cat.db.curated")
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+    df = spark.range(1).select(F.lit("c").alias("conv_id"))
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        write_iceberg_merge(df, 0, "cat.db.curated")
