@@ -200,8 +200,15 @@ def generate_scale_input(n_turns: int, out_dir: str = SCALE_DATA) -> str:
     return out_dir
 
 
-def _curate_timed(cores: int, data_dir: str) -> float:
-    """One timed curate run at local[cores]; session startup excluded."""
+def _curate_timed(cores: int, data_dir: str, shuffle_partitions: int = 32) -> float:
+    """One timed curate run at local[cores]; session startup excluded.
+
+    Shuffle partitions are FIXED across parallelism levels (default 32):
+    the cluster criterion varies executor count under one plan, and an
+    asymmetric partition count per leg (the old cores×2) gave the high leg
+    2 task waves prone to straggler imbalance — measured 0.74 → 0.84 raw
+    2→8 efficiency from equalizing alone (BENCH.md round-2 experiment).
+    """
     from data_harvesting_spark.config import HarvestConfig
     from data_harvesting_spark.operators.curate import curate
     from data_harvesting_spark.session import get_spark
@@ -209,12 +216,18 @@ def _curate_timed(cores: int, data_dir: str) -> float:
     spark = get_spark(
         f"bench-scale-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores * 2, 8),
+        shuffle_partitions=shuffle_partitions,
         # tmpfs shuffle dir: on a real cluster every node brings its own
         # shuffle disks, so disk bandwidth scales with executor count; on
         # this single box a shared disk would be an artificial serial
-        # bottleneck the criterion isn't about
-        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+        # bottleneck the criterion isn't about. With shuffle bytes in
+        # tmpfs, compression only burns CPU — off for the bench; on a
+        # disk/network cluster it stays on.
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     t = spark.read.parquet(data_dir)
@@ -376,7 +389,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 24_000_000
         lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-        print(json.dumps(run_scaling(n, lo_cores=lo)))
+        rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        print(json.dumps(run_scaling(n, lo_cores=lo, rounds=rounds)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
         cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32

@@ -375,10 +375,34 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_rank(docs, k=8, n=3)
 
 
-@register("media_features", None)
+# Oracle mirrors the deterministic fake-decode kernel over the same
+# synthesized payloads (utf-8 document bytes): n_bytes + the feature string.
+# The engine-specific crc32 payload_hash stays in the operator output but is
+# projected out of the cross-engine compare.
+_MEDIA_SQL = """
+SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       (CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END)
+         || ':len=' || CAST(octet_length(encode(text)) AS VARCHAR)
+         || '|head=' || lower(hex(encode(substring(text, 1, 4))))
+         AS features
+FROM documents
+"""
+# (substring-then-encode is byte-exact here because the documents table is
+# pure ASCII — asserted: octet_length(encode(text)) == length(text) for
+# every row; DuckDB's substring cannot slice BLOBs directly)
+
+
+@register("media_features", _MEDIA_SQL)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary payloads from document bytes
-    (deterministic), run the mapInPandas feature extractor."""
+    (deterministic), run the mapInPandas feature extractor. Oracle-checked
+    on (media_id, kind, n_bytes, features)."""
     from data_harvesting_spark.operators.multimodal import extract_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -393,10 +417,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.current_timestamp().alias("ts"),
     )
     # Scalarize the array column for the driver's canonicalizer (it sorts /
-    # hashes pandas frames, and python lists aren't hashable). The operator
-    # itself keeps the typed array<string> output.
-    return extract_features(media).withColumn(
-        "features", F.concat_ws("|", "features")
+    # hashes pandas frames, and python lists aren't hashable) and drop the
+    # engine-specific crc32 hash from the compare. The operator itself
+    # keeps the typed array<string> + payload_hash output.
+    return extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws("|", "features").alias("features"),
     )
 
 

@@ -366,10 +366,28 @@ def _cap_with_ledger(
         snapshot = counts.select(
             "conv_id", F.col("_new").cast("long").alias("emitted")
         )
-    snapshot.write.mode("overwrite").parquet(
+    # few output files: the snapshot is one small row per conversation;
+    # 32 shuffle-partition files per epoch would be pure listing overhead
+    # (coalesce is a narrow dep — the agg above still runs parallel)
+    snapshot.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(ledger_path, f"_epoch={epoch_id}")
     )
+    _prune_cap_ledger(ledger_path, epoch_id)
     return curated
+
+
+def _prune_cap_ledger(ledger_path: str, epoch_id: int, keep: int = 3) -> None:
+    """Drop snapshots older than ``epoch_id - keep``: only the last
+    uncommitted epoch can ever replay, so epoch N re-reads at most snapshot
+    N-1 — older dirs are dead weight (the ledger stays O(keep) snapshots,
+    each one row per conversation)."""
+    import re
+    import shutil as _sh
+
+    for d in os.listdir(ledger_path):
+        m = re.match(r"_epoch=(\d+)$", d)
+        if m and int(m.group(1)) < epoch_id - keep:
+            _sh.rmtree(os.path.join(ledger_path, d), ignore_errors=True)
 
 
 def start_curate_job_session_window(

@@ -199,3 +199,18 @@ def test_curate_keyed_single_exchange_plan(spark, transcripts_df):
     )
     assert len(re.findall(r"\bExchange ", plan)) == 1, plan
     assert not re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan)
+
+
+def test_curate_empty_input(spark):
+    """Empty transcripts produce an empty curated frame with the right
+    schema — no crash anywhere in the window stack."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    out = curate(empty, HarvestConfig())
+    assert out.count() == 0
+    assert "example_idx" in out.columns
+    assert curate_sessions(empty, HarvestConfig()).count() == 0

@@ -385,16 +385,17 @@ def _multisession_frame() -> pd.DataFrame:
     rows = []
     base = pd.Timestamp("2026-01-01 00:00:00")
 
-    def emit(conv, sess_starts, pairs_per_session):
+    def emit(conv, sess_starts, pairs_per_session, arrival=None):
         idx = 0
         for s, (t0, n_pairs) in enumerate(zip(sess_starts, pairs_per_session)):
+            arr = s if arrival is None else arrival[s]
             for p in range(n_pairs):
                 t = t0 + pd.Timedelta(seconds=20 * p)
                 rows.append((conv, idx, "assistant", f"call {s}-{p} {conv}",
-                             "search", t, s))
+                             "search", t, arr))
                 idx += 1
                 rows.append((conv, idx, "tool", f"result {s}-{p} {conv}",
-                             "search", t + pd.Timedelta(seconds=10), s))
+                             "search", t + pd.Timedelta(seconds=10), arr))
                 idx += 1
 
     for c in range(4):
@@ -402,11 +403,16 @@ def _multisession_frame() -> pd.DataFrame:
         starts = [base, base + pd.Timedelta(hours=2),
                   base + pd.Timedelta(hours=4)]
         emit(f"mc{c}", starts, [3, 3, 3])
-    # exact-boundary conv: next session starts at last_event + exactly 1800 s
+    # exact-boundary conv: next span starts at last_event + exactly 1800 s.
+    # Its spans 1+2 ship in the SAME arrival file (arrival=[0,1,1]): the
+    # global watermark is driven by the 2h/4h convs, so a span-2 at ~1h
+    # arriving one file later would be (correctly) dropped as
+    # beyond-watermark — the fixture must respect the arrival contract the
+    # engine documents (W2/W6), or batch and stream legitimately diverge.
     b0 = base
     b1 = b0 + pd.Timedelta(seconds=50 + 1800)
     b2 = b1 + pd.Timedelta(seconds=50 + 1800)
-    emit("mc-b", [b0, b1, b2], [3, 3, 3])
+    emit("mc-b", [b0, b1, b2], [3, 3, 3], arrival=[0, 1, 1])
     emit("mc-tiny", [base, base + pd.Timedelta(hours=2)], [1, 3])
 
     df = pd.DataFrame(
@@ -523,6 +529,34 @@ def test_conversation_cap_parity_all_paths(spark, multisession_batches, tmp_path
     got_sw = read_epoch_sink(spark, cfg_sw.sink_path).toPandas()
     got_sw = got_sw[got_sw["conv_id"] != "conv-flush"]
     pd.testing.assert_frame_equal(_canon(got_sw[cols]), _canon(want[cols]))
+
+
+def test_conversation_suppression_carry_in_stream(spark, multisession_batches, tmp_path):
+    """Conversation-scope suppression (P10): the suppression cursor carries
+    across session closes in the streaming kernel's state — output equals
+    the batch kernel's single whole-conversation sweep even though the
+    sessions close in different micro-batches."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    cfg = _cfg(str(tmp_path), suppress_turns_after_emit=2, max_pairs_per_conv=5)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    # suppression with spacing 2 over adjacent-pair fixtures actually
+    # suppresses (fewer than the uncapped 9 per conv) — guard the fixture
+    assert 0 < len(want[want["conv_id"] == "mc0"]) < 9
+
+    got = run_sessionized_stream_to_completion(
+        spark, multisession_batches, cfg
+    ).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
 
 def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
