@@ -258,6 +258,10 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
         hi_times.append(_curate_timed(hi_cores, data_dir))
     lo_sec, hi_sec = min(lo_times), min(hi_times)
     eff = round((lo_sec / hi_sec) / 4, 3)
+    # each round's legs run back-to-back (~a minute apart) and so share a
+    # noise window — the per-round ratios show the spread the min-pairing
+    # headline hides (round 0 is JIT/page-cache warmup; read it skeptically)
+    per_round = [round((l / h) / 4, 3) for l, h in zip(lo_times, hi_times)]
     return {
         "metric": "curated_turns_per_sec_scaling",
         "value": round(n_turns / hi_sec, 1),
@@ -274,6 +278,7 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
             "turns_per_sec": round(n_turns / hi_sec, 1),
         },
         f"scaling_efficiency_{lo_cores}_to_{hi_cores}": eff,
+        "per_round_eff": per_round,
     }
 
 

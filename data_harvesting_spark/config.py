@@ -90,11 +90,9 @@ def validate_config(
 
     - conversation-scope ``min_pairs_per_conv > 1`` needs the whole
       conversation before emitting anything — incremental session emission
-      cannot retract; batch-only.
-    - conversation-scope suppression needs a per-conversation cursor carried
-      across sessions; the kernel runner keeps it in state, the
-      session-window runner does not (its cross-batch ledger carries only
-      the emitted count).
+      cannot retract; batch-only. (Conversation-scope cap and suppression
+      ARE streaming-exact: the kernel runner carries the cursor in state,
+      the session-window runner in its cross-batch ledger.)
     """
     from data_harvesting_spark.streaming.sink import SINKS
 
@@ -111,12 +109,6 @@ def validate_config(
                 "batch-only (streaming cannot retract already-emitted "
                 "sessions); use cap_scope='session' or the batch runner"
             )
-        if streaming_runner == "session_window" and cfg.suppress_turns_after_emit > 0:
-            raise ConfigError(
-                "conversation-scope suppression is not supported by the "
-                "session-window runner (no cross-session suppression cursor); "
-                "use the kernel runner or cap_scope='session'"
-            )
     if cfg.sample_stride < 1:
         raise ConfigError("sample_stride must be >= 1")
     if cfg.call_role == cfg.response_role:
@@ -131,4 +123,17 @@ def validate_config(
         raise ConfigError(
             f"unknown sink_format {cfg.sink_format!r}; registered: {sorted(SINKS)}"
         )
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
+
+    for field_name in ("session_gap", "watermark_delay", "cap_state_retention"):
+        val = getattr(cfg, field_name)
+        try:
+            parse_duration_seconds(val)
+        except Exception as exc:
+            raise ConfigError(
+                f"unparseable duration {field_name}={val!r} "
+                f"(want e.g. '30 minutes'): {exc}"
+            ) from exc
     return cfg

@@ -116,6 +116,26 @@ def language_guess(col: Column | str) -> Column:
     )
 
 
+# Redaction patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes only, no lookaround, no backrefs.
+_REDACT_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{9,}", "<NUM>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """PII-style masking for training corpora: emails, phone-shaped
+    numbers, long digit runs → typed placeholder tokens. Pure JVM
+    ``regexp_replace`` chain (whole-stage codegen, no Python); the oracle
+    runs the same patterns under RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col: Column | str, k: int = 8) -> Column:
     """Document fingerprint: xxhash64 of the k lexicographically-smallest
     word shingles (a winnowing-style rolling fingerprint, JVM-side)."""

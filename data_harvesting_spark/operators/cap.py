@@ -28,20 +28,25 @@ from data_harvesting_spark.config import HarvestConfig
 def _sweep_group(
     pdf: pd.DataFrame, order_col: str | list[str], max_emit: int, suppress: int
 ) -> pd.DataFrame:
-    """order_col: sort key(s); the LAST one is the suppression index."""
+    """order_col: sort key(s); the LAST one is the suppression index.
+
+    Optional per-group cursor columns ``_emitted0`` / ``_sup0`` (constant
+    within a group) start the sweep from a carried state — used by the
+    session-window runner's cross-batch ledger (conversation-scope P9/P10
+    across micro-batches)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     pdf = pdf.sort_values(order_cols, kind="mergesort")
     order = pdf[order_cols[-1]].to_numpy()
     keep = []
-    emitted = 0
-    suppress_until = -1
+    emitted = int(pdf["_emitted0"].iloc[0]) if "_emitted0" in pdf.columns else 0
+    suppress_until = int(pdf["_sup0"].iloc[0]) if "_sup0" in pdf.columns else -1
     for i, idx in enumerate(order):
         if idx <= suppress_until:
             continue
-        keep.append(i)
-        emitted += 1
         if max_emit and emitted >= max_emit:
             break
+        keep.append(i)
+        emitted += 1
         if suppress:
             suppress_until = idx + suppress
     return pdf.iloc[keep]

@@ -428,6 +428,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- redaction
+# The synthetic documents carry no PII, so both engines append the same
+# deterministic fake contact block derived from doc_id before redacting —
+# every row exercises every pattern.
+_REDACT_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' acct 90210' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{9,}', '<NUM>', 'g') AS red_text
+FROM aug
+"""
+
+
+@register("doc_redact", _REDACT_SQL)
+def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (training-corpus scrubbing): email / phone /
+    long-digit-run masking, pure JVM regexp chain — oracle runs the
+    identical patterns under RE2 on the same augmented input."""
+    from data_harvesting_spark.functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct 90210"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+    )
+    return docs.select("doc_id", redact_pii(aug).alias("red_text"))
+
+
 _TOKENS_SQL = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

@@ -298,8 +298,9 @@ def _cap_with_ledger(
     runner, exact across micro-batches.
 
     Sessions of one conversation close over multiple batches; the
-    cumulative pairs-emitted count per conversation lives in a tiny ledger
-    (one row per conversation), snapshotted per epoch next to the sink:
+    cumulative pairs-emitted count and (when suppressing) the P10
+    suppression cursor per conversation live in a tiny ledger (one row per
+    conversation), snapshotted per epoch next to the sink:
 
       epoch N reads snapshot N-1 → offsets; numbers this batch's pairs per
       conversation in (window_start, call, response) order starting at the
@@ -319,21 +320,36 @@ def _cap_with_ledger(
 
     spark = turns.sparkSession
     keys = ("conv_id", "window_start")
+    sup = cfg.suppress_turns_after_emit
     pairs = curate_keyed_pairs(turns, cfg, keys)
     prior = _read_cap_ledger(spark, ledger_path, epoch_id)
-    w = Window.partitionBy("conv_id").orderBy(
-        "window_start", "call_turn_idx", "response_turn_idx"
-    )
-    numbered = pairs.withColumn("_pos", F.row_number().over(w) - 1)
+    if prior is not None and "suppress_until" not in prior.columns:
+        prior = prior.withColumn("suppress_until", F.lit(-1).cast("long"))
     if prior is not None:
-        numbered = numbered.join(
-            prior.withColumnRenamed("emitted", "_off"), "conv_id", "left"
-        )
+        pairs = pairs.join(
+            prior.select(
+                "conv_id",
+                F.col("emitted").alias("_emitted0"),
+                F.col("suppress_until").alias("_sup0"),
+            ),
+            "conv_id",
+            "left",
+        ).na.fill({"_emitted0": 0, "_sup0": -1})
     else:
-        numbered = numbered.withColumn("_off", F.lit(0))
-    numbered = numbered.withColumn(
+        pairs = pairs.withColumn(
+            "_emitted0", F.lit(0).cast("long")
+        ).withColumn("_sup0", F.lit(-1).cast("long"))
+    order_cols = ["window_start", "call_turn_idx", "response_turn_idx"]
+    if sup > 0:
+        # P10 sweep with the carried cursor: _sweep_group reads the
+        # _emitted0/_sup0 columns so suppression spacing spans batches
+        from data_harvesting_spark.operators.cap import suppress_and_cap
+
+        pairs = suppress_and_cap(pairs, cfg, key="conv_id", order_col=order_cols)
+    w = Window.partitionBy("conv_id").orderBy(*[F.col(c) for c in order_cols])
+    numbered = pairs.withColumn(
         "example_idx",
-        (F.col("_pos") + F.coalesce(F.col("_off"), F.lit(0))).cast("int"),
+        (F.col("_emitted0") + F.row_number().over(w) - 1).cast("int"),
     )
     if cfg.max_pairs_per_conv > 0:
         numbered = numbered.where(F.col("example_idx") < cfg.max_pairs_per_conv)
@@ -348,23 +364,34 @@ def _cap_with_ledger(
         text_hash(F.col("response_text")).alias("text_hash"),
     )
     curated = curated.persist()
-    counts = curated.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("_new")
+    # cursor update is declarative: kept-count and (if suppressing) the
+    # last kept response index + spacing; a conv with nothing kept this
+    # epoch keeps its prior cursor via the full-outer coalesce
+    upd = curated.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("_new"),
+        F.max("response_turn_idx").cast("long").alias("_last_resp"),
+    )
+    new_sup = (
+        (F.col("_last_resp") + F.lit(sup)).cast("long")
+        if sup > 0
+        else F.lit(None).cast("long")
     )
     if prior is not None:
-        snapshot = (
-            prior.join(counts, "conv_id", "full_outer")
-            .select(
-                "conv_id",
-                (
-                    F.coalesce(F.col("emitted"), F.lit(0))
-                    + F.coalesce(F.col("_new"), F.lit(0))
-                ).cast("long").alias("emitted"),
-            )
+        snapshot = prior.join(upd, "conv_id", "full_outer").select(
+            "conv_id",
+            (
+                F.coalesce(F.col("emitted"), F.lit(0))
+                + F.coalesce(F.col("_new"), F.lit(0))
+            ).cast("long").alias("emitted"),
+            F.coalesce(new_sup, F.col("suppress_until"), F.lit(-1))
+            .cast("long")
+            .alias("suppress_until"),
         )
     else:
-        snapshot = counts.select(
-            "conv_id", F.col("_new").cast("long").alias("emitted")
+        snapshot = upd.select(
+            "conv_id",
+            F.col("_new").cast("long").alias("emitted"),
+            F.coalesce(new_sup, F.lit(-1)).cast("long").alias("suppress_until"),
         )
     # few output files: the snapshot is one small row per conversation;
     # 32 shuffle-partition files per epoch would be pure listing overhead

@@ -311,3 +311,46 @@ def test_elbow_k_selection(spark):
     out = cluster_groups(sdf, "grp", "v", k_mode="elbow").toPandas()
     assert len(out) == 3
     assert out["n_members"].sum() == len(x)
+
+
+def test_doc_redact_oracle_and_semantics(spark):
+    """PII redaction masks every pattern class; Spark output matches the
+    RE2 oracle on the same augmented input (cross-engine regex parity)."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    got = (
+        catalog.spark_queries()["doc_redact"](spark, SF_ORACLE)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["red_text"].str.contains("<EMAIL>").all()
+    assert got["red_text"].str.contains("<PHONE>").all()
+    assert got["red_text"].str.contains("<NUM>").all()
+    assert not got["red_text"].str.contains("@example.com").any()
+
+    want = (
+        duck_on_sf(catalog.oracle_queries()["doc_redact"], SF_ORACLE)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_validate_config_rejects_bad_durations():
+    import pytest
+
+    from data_harvesting_spark.config import (
+        ConfigError,
+        HarvestConfig,
+        validate_config,
+    )
+
+    with pytest.raises(ConfigError, match="unparseable duration"):
+        validate_config(HarvestConfig(session_gap="half an hour"))
+    with pytest.raises(ConfigError, match="unparseable duration"):
+        validate_config(HarvestConfig(cap_state_retention="7d"))

@@ -558,6 +558,24 @@ def test_conversation_suppression_carry_in_stream(spark, multisession_batches, t
     got = got[got["conv_id"] != "conv-flush"]
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
+    # session-window runner: the same cursor rides the cap ledger
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg_sw = _cfg(
+        str(tmp_path / "sw"), suppress_turns_after_emit=2, max_pairs_per_conv=5
+    )
+    q = start_curate_job_session_window(
+        spark, multisession_batches, cfg_sw, available_now=False
+    )
+    drain(q)
+    got_sw = read_epoch_sink(spark, cfg_sw.sink_path).toPandas()
+    got_sw = got_sw[got_sw["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got_sw), _canon(want))
+
 
 def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
     """Session-scope min gate (P8): a 1-pair session is dropped when
@@ -602,16 +620,16 @@ def test_streaming_config_rejections(tmp_path):
             streaming_runner="kernel",
         )
     with pytest.raises(ConfigError):
-        validate_config(
-            HarvestConfig(suppress_turns_after_emit=3, **base),
-            streaming_runner="session_window",
-        )
-    with pytest.raises(ConfigError):
         validate_config(HarvestConfig(cap_scope="bogus", **base))
-    # fine: kernel carries the suppression cursor in state
+    # fine: kernel carries the suppression cursor in state; session-window
+    # carries it in the cap ledger
     validate_config(
         HarvestConfig(suppress_turns_after_emit=3, **base),
         streaming_runner="kernel",
+    )
+    validate_config(
+        HarvestConfig(suppress_turns_after_emit=3, **base),
+        streaming_runner="session_window",
     )
     # fine: session scope closes atomically
     validate_config(
