@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_harvesting_spark.derive import load_transcripts_from_events, transcripts_sql
 
@@ -127,4 +128,80 @@ def q_curate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool",
         "call_text",
         "response_text",
+    )
+
+
+# --------------------------------------------------------------------------
+# Composite training-export pipeline: curate → cross-conversation response
+# dedup → quality gate → PII redaction. The "a user runs their whole
+# pipeline on this engine" query — every stage is an operator above,
+# composed, and the whole chain is oracle-checked end to end.
+# --------------------------------------------------------------------------
+
+_REDACT_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(response_text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+    "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), "
+    "'[0-9]{9,}', '<NUM>', 'g')"
+)
+
+_TRAINING_EXPORT_ORACLE = f"""
+WITH exported AS (
+  SELECT conv_id, example_idx, tool, call_text, response_text,
+         lower(regexp_replace(trim(response_text), '\\s+', ' ', 'g')) AS norm_resp
+  FROM ({_CURATE_ORACLE}) c
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_resp
+                                 ORDER BY conv_id, example_idx) AS rn
+    FROM exported) t WHERE rn = 1
+),
+quality AS (
+  SELECT * FROM deduped
+  WHERE length(response_text) - length(replace(response_text, ' ', '')) + 1 >= 3
+)
+SELECT conv_id, example_idx, tool, call_text,
+       {_REDACT_CHAIN} AS response_red
+FROM quality
+"""
+
+
+@register("training_export", _TRAINING_EXPORT_ORACLE)
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export: flagship curate, then EXACT dedup
+    of responses across conversations (keep first by (conv_id,
+    example_idx); 8-byte hash key — scale path), then a min-words quality
+    gate, then PII redaction. One plan, still clustered on conv_id until
+    the global dedup (the single unavoidable re-key: its group key is the
+    response text, not the conversation)."""
+    from pyspark.sql import Window
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.functions.text import (
+        normalize_text,
+        quality_features,
+        redact_pii,
+    )
+    from data_harvesting_spark.operators.curate import curate
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    pairs = curate(t, HarvestConfig(), pre_clustered=True)
+    w = Window.partitionBy(F.xxhash64(normalize_text("response_text"))).orderBy(
+        "conv_id", "example_idx"
+    )
+    deduped = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    quality = deduped.where(
+        quality_features(F.col("response_text"))["n_words"] >= 3
+    )
+    return quality.select(
+        "conv_id",
+        "example_idx",
+        "tool",
+        "call_text",
+        redact_pii(F.col("response_text")).alias("response_red"),
     )

@@ -507,14 +507,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 — per-group KMeans over embeddings (applyInPandas, numpy
     Lloyd's; rows-only: iterative ML is not ANSI-SQL-expressible).
-    Groups = embedding label buckets; deterministic seed/init."""
+    Groups = embedding label buckets; k selected per group by the
+    deterministic elbow over 1..8 — the reference's actual semantics
+    (`utils/ColorDetector.py:93-119` via find_main_colors)."""
     from data_harvesting_spark.operators.clustering import cluster_groups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("label").cast("string").alias("grp"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    out = cluster_groups(emb, "grp", "v", k=3)
+    out = cluster_groups(emb, "grp", "v", k_mode="elbow", k_min=1, k_max=8)
     # Driver-canonicalizer-friendly projection: arrays aren't hashable in
     # pandas sorts, so emit the centroid as a rounded string. The operator
     # keeps the typed array<double> centroid.

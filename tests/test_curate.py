@@ -214,3 +214,33 @@ def test_curate_empty_input(spark):
     assert out.count() == 0
     assert "example_idx" in out.columns
     assert curate_sessions(empty, HarvestConfig()).count() == 0
+
+
+def test_curate_keyed_single_exchange_plan(spark, transcripts_df):
+    """The session-keyed pipeline (the session-window runner's per-batch
+    body) must also be ONE shuffle, ZERO joins in conversation scope: the
+    up-front repartition(conv_id) satisfies the session-keyed dedup agg,
+    the per-tool windows, AND the conversation-scope cap window (all key
+    supersets or equal), so no further exchange may appear."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.curate import curate_keyed
+    from data_harvesting_spark.operators.sessionize import sessionize
+
+    sess = sessionize(transcripts_df, gap_seconds=1800).select(
+        "conv_id", "window_start", "turn_idx", "role", "text", "tool", "ts"
+    )
+    # count exchanges of curate_keyed ON TOP of an already-clustered input
+    # (sessionize itself shuffles once on conv_id; its output partitioning
+    # must be reused by everything downstream)
+    plan = (
+        curate_keyed(sess, HarvestConfig())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bExchange ", plan)) == 1, plan
+    assert not re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan)
