@@ -283,7 +283,8 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
 
 
 def run_streaming(
-    n_turns: int, cores: int = 32, n_slices: int = 8, mode: str = "kernel"
+    n_turns: int, cores: int = 32, n_slices: int = 8, mode: str = "kernel",
+    cap_scope: str = "conversation",
 ) -> dict:
     """End-to-end STREAMING curated-turns/sec (BASELINE.json metric shape):
     generated transcript slices → checkpointed stateful correlator →
@@ -331,6 +332,7 @@ def run_streaming(
         sink_format="epoch",
         sink_path=os.path.join(work, "curated"),
         checkpoint_dir=os.path.join(work, "ckpt"),
+        cap_scope=cap_scope,
     )
     t0 = time.perf_counter()
     q = starter(spark, src, cfg, available_now=True)
@@ -348,6 +350,7 @@ def run_streaming(
         "value": round(n_turns / dt, 1),
         "unit": "turns/sec",
         "mode": mode,
+        "cap_scope": cap_scope,
         "n_turns": n_turns,
         "cores": cores,
         "sec": round(dt, 2),
@@ -400,6 +403,7 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
         cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
         mode = sys.argv[4] if len(sys.argv) > 4 else "kernel"
-        print(json.dumps(run_streaming(n, cores, mode=mode)))
+        scope = sys.argv[5] if len(sys.argv) > 5 else "conversation"
+        print(json.dumps(run_streaming(n, cores, mode=mode, cap_scope=scope)))
     else:
         print(json.dumps(run_headline()))

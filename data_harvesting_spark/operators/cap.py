@@ -35,6 +35,8 @@ def _sweep_group(
     session-window runner's cross-batch ledger (conversation-scope P9/P10
     across micro-batches)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if len(pdf) == 0:
+        return pdf
     pdf = pdf.sort_values(order_cols, kind="mergesort")
     order = pdf[order_cols[-1]].to_numpy()
     keep = []

@@ -73,12 +73,44 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.mapInPandas(fn, schema=_FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, stride: int = 5) -> DataFrame:
-    """Video frame sampling analog (P1 over frames): would decode and keep
-    every ``stride``-th frame. Stubbed decode; plumbing kept so the operator
-    slot exists."""
-    if not DECODE_AVAILABLE:
-        raise NotImplementedError(
-            "frame decode requires cv2/av, absent in this container; "
-            "Spark-side plumbing is exercised via extract_features()"
-        )
+_FRAME_SCHEMA = "media_id string, frame_idx int, n_frames int, frame binary"
+
+
+def frame_sample(
+    media: DataFrame, stride: int = 5, frame_bytes: int = 64
+) -> DataFrame:
+    """Video frame sampling (P1 over frames, reference
+    `services/harvest_service.py:156-157` CLASSIFICATION_FPS stride): one
+    media row fans out to its every-``stride``-th frame.
+
+    The Spark surface is fully real — ``mapInPandas`` 1→N row fan-out,
+    Arrow-batched, typed binary frames, bounded memory per batch. The
+    FRAME EXTRACTION kernel is a deterministic stand-in (payload split
+    into ``frame_bytes`` blocks = "frames"); REAL IMPLEMENTATION (stubbed:
+    cv2/av absent in this container) replaces the block slicing with codec
+    decode + keyframe selection, same schema and fan-out shape.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_frames": [], "frame": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = b"" if payload is None else bytes(payload)
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, stride):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n)
+                    out["frame"].append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="object"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "frame": pd.Series(out["frame"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(fn, schema=_FRAME_SCHEMA)

@@ -112,13 +112,33 @@ def test_media_features_deterministic(spark):
     assert (a["n_bytes"] > 0).all()
 
 
-def test_multimodal_decode_stub_raises(spark):
-    import pytest
+def test_frame_sample_fanout(spark):
+    """Frame sampling: one media row fans out to every stride-th frame
+    with exact, deterministic counts and byte-faithful frame content
+    (the mapInPandas 1→N plumbing is real; the block-extraction kernel
+    stands in for the absent codec — see operators/multimodal.py)."""
+    from pyspark.sql import functions as F
 
     from data_harvesting_spark.operators.multimodal import frame_sample
 
-    with pytest.raises(NotImplementedError):
-        frame_sample(None)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = docs.limit(20).select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    stride, fb = 3, 16
+    out = frame_sample(media, stride=stride, frame_bytes=fb).toPandas()
+    src = media.toPandas().set_index("media_id")["payload"]
+    import math
+
+    for mid, g in out.groupby("media_id"):
+        payload = bytes(src[mid])
+        n = math.ceil(len(payload) / fb)
+        assert (g["n_frames"] == n).all()
+        assert sorted(g["frame_idx"]) == list(range(0, n, stride))
+        for _, r in g.iterrows():
+            lo = r["frame_idx"] * fb
+            assert bytes(r["frame"]) == payload[lo:lo + fb]
 
 
 def test_token_count_and_quality(spark):
