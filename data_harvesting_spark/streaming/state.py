@@ -18,6 +18,14 @@ same gap-splitting), exactly-once when paired with the idempotent sink
 keyed (conv_id, window_start) (sink.py), and bounded state (sessions close
 as the watermark advances; RocksDB absorbs hot conversations).
 
+Conversation-scope budgets (cfg.cap_scope, the reference's per-video cap):
+the state also carries the P9 emitted count and P10 suppression cursor,
+threaded through session closes in event-time order; after the last
+session closes, a counters-only tombstone is retained for
+``cap_state_retention`` so a later session continues the budget instead of
+restarting (exact batch parity for inter-session gaps under the
+retention).
+
 Late-data policy (W2/W6): unlike JVM windowed aggregations,
 ``applyInPandasWithState`` does NOT pre-filter rows older than the
 watermark — the handler itself drops beyond-watermark rows and counts them
