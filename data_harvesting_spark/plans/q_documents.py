@@ -329,14 +329,77 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="rank")
 
 
-@register("ann_lsh_topk", None)
+# ---------------------------------------------------------------- ANN LSH
+# Exact oracle for the LSH path: the SAME seeded projection matrix is
+# embedded as SQL literals, so DuckDB computes identical hyperplane
+# signatures (bucket membership depends only on the SIGN of each dot
+# product — empirically min |dot| ≈ 3e-4 on this data, eleven orders of
+# magnitude above any summation-order float noise between numpy BLAS and
+# list_dot_product). Candidates then rerank with the same rounded cosine
+# as the brute-force oracle.
+_LSH_PLANES, _LSH_TABLES, _LSH_DIM, _LSH_SEED = 4, 8, 64, 42
+
+
+def _lsh_proj_values() -> str:
+    import numpy as np
+
+    from data_harvesting_spark.operators.similarity import _projection
+
+    proj = _projection(_LSH_DIM, _LSH_PLANES * _LSH_TABLES, _LSH_SEED)
+    rows = []
+    for col in range(_LSH_PLANES * _LSH_TABLES):
+        tbl, plane = divmod(col, _LSH_PLANES)
+        vec = "[" + ",".join(repr(x) for x in proj[:, col]) + "]::DOUBLE[]"
+        rows.append(f"({tbl}, {plane}, {vec})")
+    return "proj(tbl, plane, pv) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_ANN_LSH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{_lsh_proj_values()},
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                  THEN CAST(1 AS BIGINT) << p.plane ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM e CROSS JOIN proj p GROUP BY e.vec_id, p.tbl
+),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM sig WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM q JOIN sig s ON q.tbl = s.tbl AND q.bucket = s.bucket
+                   AND s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS cos
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_topk", _ANN_LSH_SQL)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (recall checked vs brute force in tests)."""
+    """LSH-bucketed ANN top-k, value-checked end to end: the oracle
+    reproduces the identical multi-table signatures from the shared seeded
+    projection matrix (recall vs brute force additionally unit-tested)."""
     from data_harvesting_spark.operators.similarity import cosine_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk_lsh(emb, queries, k=5, n_planes=8)
+    return cosine_topk_lsh(
+        emb, queries, k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+        dim=_LSH_DIM, seed=_LSH_SEED,
+    )
 
 
 _FINGERPRINT_SQL = f"""
