@@ -219,9 +219,17 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------- IVF
 
 
-def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
+def _assign_cells_udf(
+    centroids: np.ndarray, nprobe: int, cell_ids: np.ndarray | None = None
+):
     """pandas UDF: nprobe nearest centroid ids per vector (one numpy
-    matmul per Arrow batch against the broadcast centroid matrix)."""
+    matmul per Arrow batch against the broadcast centroid matrix).
+    ``cell_ids`` relabels cells (e.g. anchor vec_ids) instead of 0..n-1."""
+    ids = (
+        np.arange(len(centroids), dtype=np.int32)
+        if cell_ids is None
+        else np.asarray(cell_ids, dtype=np.int32)
+    )
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
@@ -229,7 +237,7 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = mn @ centroids.T  # (batch, n_cells)
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(top.astype(np.int32)))
+        return pd.Series(list(ids[top]))
 
     return probe
 
@@ -284,18 +292,34 @@ def cosine_topk_ivf(
     the cell equi-join shuffles on a low-cardinality int key, so cells are
     the partition-pruning unit (on a real table: PARTITIONED BY (cell)).
     """
-    from pyspark.sql import Window
-
     centroids = train_ivf_centroids(
         embeddings, n_cells, sample_fraction, seed, vec_col, max_train_rows
     )
-    assign1 = _assign_cells_udf(centroids, 1)
+    return _ivf_search(embeddings, queries, centroids, None, k, nprobe,
+                       id_col, vec_col)
+
+
+def _ivf_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    cell_ids: np.ndarray | None,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF search body: cell assignment → probe → cell equi-join →
+    exact rerank of probed cells only."""
+    from pyspark.sql import Window
+
+    assign1 = _assign_cells_udf(centroids, 1, cell_ids)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
-    probe = _assign_cells_udf(centroids, nprobe)
+    probe = _assign_cells_udf(centroids, nprobe, cell_ids)
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -319,3 +343,37 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id", "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def cosine_topk_ivf_anchors(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    anchor_mod: int = 37,
+    max_anchor_id: int = 37 * 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a deterministic DATA-ANCHOR quantizer (sampled-data
+    centroids — a standard trained-quantizer alternative): the centroids
+    ARE the corpus rows with ``vec_id % anchor_mod == 0`` under a fixed id
+    bound, so the quantizer is reproducible in any engine — this variant
+    is value-checked against a full DuckDB oracle, while the KMeans-trained
+    quantizer (``cosine_topk_ivf``) keeps its recall unit test.
+
+    The anchor collect is hard-bounded (≤ max_anchor_id/anchor_mod rows)
+    regardless of corpus size.
+    """
+    rows = (
+        embeddings.where(
+            (F.col(id_col) % anchor_mod == 0) & (F.col(id_col) < max_anchor_id)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    aids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return _ivf_search(embeddings, queries, mat, aids, k, nprobe, id_col, vec_col)

@@ -594,12 +594,62 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)
+# Oracle for IVF via the deterministic data-anchor quantizer: centroids =
+# the corpus rows with vec_id % 37 == 0 (id-bounded), reproducible in SQL.
+# Argmax stability across engines measured: min top1-top2 cosine margin
+# 1.6e-6, min rank4-rank5 margin 1.6e-5 — ten orders above float noise.
+_ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS aid, v AS av FROM e
+  WHERE vec_id % 37 = 0 AND vec_id < 2368
+),
+assigned AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN anchors a) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN anchors a WHERE e.vec_id % 50 = 0) t WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+  FROM probes p JOIN assigned s ON p.cell = s.cell
+  WHERE s.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS cos
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (coarse KMeans quantizer + nprobe cell search;
-    rows-only — recall vs brute force unit-tested)."""
-    from data_harvesting_spark.operators.similarity import cosine_topk_ivf
+    """IVF ANN top-k with the deterministic data-anchor quantizer
+    (sampled-data centroids) — fully oracle-checked. The KMeans-trained
+    quantizer (`cosine_topk_ivf`) is the quality path, recall-tested vs
+    brute force in tests."""
+    from data_harvesting_spark.operators.similarity import (
+        cosine_topk_ivf_anchors,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=4)
+    return cosine_topk_ivf_anchors(emb, queries, k=5, nprobe=4)
