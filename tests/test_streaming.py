@@ -606,6 +606,33 @@ def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
     pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
 
 
+def test_session_scope_stream_parity(spark, multisession_batches, tmp_path):
+    """cap_scope='session': each session budgets/numbers independently —
+    kernel stream == batch kernel on the multi-session fixture (the
+    non-default scope stays exact too)."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    cfg = _cfg(str(tmp_path), cap_scope="session", max_pairs_per_conv=2)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    # per-session cap of 2 over 3-pair sessions: mc0 emits 2 per session
+    g = want[want["conv_id"] == "mc0"]
+    assert len(g) == 6 and sorted(g["example_idx"].unique()) == [0, 1]
+
+    got = run_sessionized_stream_to_completion(
+        spark, multisession_batches, cfg
+    ).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
 def test_streaming_config_rejections(tmp_path):
     """Combinations a streaming architecture cannot implement exactly are
     rejected up front instead of silently diverging from batch."""
