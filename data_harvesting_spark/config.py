@@ -98,6 +98,12 @@ def validate_config(
 
     if cfg.max_pairs_per_conv < 0:
         raise ConfigError("max_pairs_per_conv must be >= 0 (0 = uncapped)")
+    if 0 < cfg.max_pairs_per_conv < cfg.min_pairs_per_conv:
+        raise ConfigError(
+            f"min_pairs_per_conv={cfg.min_pairs_per_conv} can never be met "
+            f"under max_pairs_per_conv={cfg.max_pairs_per_conv} — every "
+            "group would be silently dropped"
+        )
     if cfg.cap_scope not in ("conversation", "session"):
         raise ConfigError(
             f"cap_scope must be 'conversation' or 'session', got {cfg.cap_scope!r}"

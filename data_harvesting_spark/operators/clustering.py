@@ -50,6 +50,31 @@ def _kmeans_numpy(x: np.ndarray, k: int, seed: int, n_iter: int = 20):
     return labels, centroids, inertia
 
 
+def _elbow_select(
+    x: np.ndarray, k_min: int, k_max: int, seed: int, n_iter: int = 20
+) -> tuple[int, dict]:
+    """Elbow selection returning the chosen k AND the fits computed along
+    the way (so callers never re-fit the winner). See ``elbow_k``."""
+    k_hi = min(k_max, len(x))
+    if k_hi <= k_min:
+        k = max(1, min(k_min, len(x)))
+        return k, {k: _kmeans_numpy(x, k, seed, n_iter)}
+    ks = list(range(k_min, k_hi + 1))
+    fits = {k: _kmeans_numpy(x, k, seed, n_iter) for k in ks}
+    inertias = [float(fits[k][2]) for k in ks]
+    i0, i1 = inertias[0], inertias[-1]
+    if i0 <= i1 or i0 == 0:
+        return k_min, fits
+    best_k, best_d = ks[0], -1.0
+    for k, inr in zip(ks, inertias):
+        # vertical distance below the chord, on a normalized inertia scale
+        chord = i0 + (i1 - i0) * (k - ks[0]) / (ks[-1] - ks[0])
+        d = (chord - inr) / i0
+        if d > best_d:
+            best_k, best_d = k, d
+    return best_k, fits
+
+
 def elbow_k(
     x: np.ndarray,
     k_min: int = 1,
@@ -66,22 +91,7 @@ def elbow_k(
     the chord from (k_min, inertia_min) to (k_max, inertia_max). Degenerate
     curves (flat inertia — e.g. identical points) fall back to k_min.
     """
-    k_max = min(k_max, len(x))
-    if k_max <= k_min:
-        return max(1, min(k_min, len(x)))
-    ks = list(range(k_min, k_max + 1))
-    inertias = [float(_kmeans_numpy(x, k, seed, n_iter)[2]) for k in ks]
-    i0, i1 = inertias[0], inertias[-1]
-    if i0 <= i1 or i0 == 0:
-        return k_min
-    best_k, best_d = ks[0], -1.0
-    for k, inr in zip(ks, inertias):
-        # vertical distance below the chord, on a normalized inertia scale
-        chord = i0 + (i1 - i0) * (k - ks[0]) / (ks[-1] - ks[0])
-        d = (chord - inr) / i0
-        if d > best_d:
-            best_k, best_d = k, d
-    return best_k
+    return _elbow_select(x, k_min, k_max, seed, n_iter)[0]
 
 
 def cluster_groups(
@@ -103,8 +113,11 @@ def cluster_groups(
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = str(pdf[group_col].iloc[0])
         x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-        kk = elbow_k(x, k_min, k_max, seed) if k_mode == "elbow" else k
-        labels, centroids, inertia = _kmeans_numpy(x, kk, seed)
+        if k_mode == "elbow":
+            kk, fits = _elbow_select(x, k_min, k_max, seed)
+            labels, centroids, inertia = fits[kk]  # reuse the elbow's fit
+        else:
+            labels, centroids, inertia = _kmeans_numpy(x, k, seed)
         rows = []
         for j in range(len(centroids)):
             m = labels == j

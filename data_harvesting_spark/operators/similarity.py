@@ -249,23 +249,34 @@ def train_ivf_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     max_train_rows: int | None = None,
+    id_col: str | None = "vec_id",
 ) -> np.ndarray:
-    """Coarse quantizer: KMeans over a BOUNDED seeded sample, driver-side.
+    """Coarse quantizer: KMeans over a BOUNDED deterministic sample,
+    driver-side.
 
     The driver collect is capped at ``max_train_rows`` (default
     ``n_cells * 256``) no matter the corpus size — the trainer never pulls
     more than a fixed number of rows, so its cost is independent of corpus
-    size (a 100 TB corpus trains on the same few thousand vectors). The
-    trained object is tiny (n_cells × dim floats) and broadcast.
+    size (a 100 TB corpus trains on the same few thousand vectors). With
+    ``id_col`` set, the cap takes the top rows by a seeded value hash of
+    the id (Spark plans ORDER BY + LIMIT as TakeOrdered — top-n per
+    partition then merge, no global sort), so the training set depends
+    only on row VALUES, never on partition layout; ``id_col=None`` falls
+    back to a layout-dependent ``limit``. The trained object is tiny
+    (n_cells × dim floats) and broadcast.
     """
     from data_harvesting_spark.operators.clustering import _kmeans_numpy
 
     cap = max_train_rows if max_train_rows is not None else n_cells * 256
-    s = embeddings.select(vec_col)
+    s = embeddings
     if sample_fraction is not None and sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
+    if id_col is not None and id_col in s.columns:
+        s = s.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
     # hard bound on the driver-side collect, always
-    x = np.stack(s.limit(cap).toPandas()[vec_col].to_numpy()).astype(np.float64)
+    x = np.stack(
+        s.select(vec_col).limit(cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     _, centroids, _ = _kmeans_numpy(x, n_cells, seed)
     norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -293,7 +304,8 @@ def cosine_topk_ivf(
     the partition-pruning unit (on a real table: PARTITIONED BY (cell)).
     """
     centroids = train_ivf_centroids(
-        embeddings, n_cells, sample_fraction, seed, vec_col, max_train_rows
+        embeddings, n_cells, sample_fraction, seed, vec_col, max_train_rows,
+        id_col,
     )
     return _ivf_search(embeddings, queries, centroids, None, k, nprobe,
                        id_col, vec_col)
@@ -373,6 +385,13 @@ def cosine_topk_ivf_anchors(
         .orderBy(id_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"no anchor rows: no {id_col} satisfies "
+            f"% {anchor_mod} == 0 AND < {max_anchor_id} — pick anchor_mod/"
+            f"max_anchor_id to cover this table's id space, or use the "
+            f"trained quantizer (cosine_topk_ivf)"
+        )
     aids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

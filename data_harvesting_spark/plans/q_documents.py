@@ -349,7 +349,9 @@ def _lsh_proj_values() -> str:
     rows = []
     for col in range(_LSH_PLANES * _LSH_TABLES):
         tbl, plane = divmod(col, _LSH_PLANES)
-        vec = "[" + ",".join(repr(x) for x in proj[:, col]) + "]::DOUBLE[]"
+        # repr(float(x)) — plain-float repr round-trips exactly and stays
+        # valid SQL under numpy 2.x (repr(np.float64) grew a prefix there)
+        vec = "[" + ",".join(repr(float(x)) for x in proj[:, col]) + "]::DOUBLE[]"
         rows.append(f"({tbl}, {plane}, {vec})")
     return "proj(tbl, plane, pv) AS (VALUES " + ", ".join(rows) + ")"
 

@@ -74,8 +74,13 @@ def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
     batch = df.dropDuplicates(CURATED_KEY + ["example_idx"]).withColumn(
         "_bucket", _bucket_col()
     )
+    # persist: the touched-buckets collect and the merged write both
+    # consume this frame — without it, the whole upstream micro-batch
+    # (e.g. the stateful curation) would execute twice per epoch
+    batch = batch.persist()
     touched = sorted(r[0] for r in batch.select("_bucket").distinct().collect())
     if not touched:
+        batch.unpersist()
         return
     has_existing = os.path.isdir(sink_path) and any(
         d.startswith("_bucket=") for d in os.listdir(sink_path)
@@ -91,7 +96,10 @@ def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
     else:
         merged = batch
     tmp = sink_path.rstrip("/") + ".tmp"
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    try:
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    finally:
+        batch.unpersist()
     os.makedirs(sink_path, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"_bucket={b}")

@@ -216,9 +216,11 @@ def test_curate_empty_input(spark):
     assert curate_sessions(empty, HarvestConfig()).count() == 0
 
 
-def test_curate_keyed_single_exchange_plan(spark, transcripts_df):
-    """The session-keyed pipeline (the session-window runner's per-batch
-    body) must also be ONE shuffle, ZERO joins in conversation scope: the
+def test_curate_keyed_sessionized_single_exchange_plan(spark, transcripts_df):
+    """The FULL sessionize → curate_keyed stack (the session-window
+    runner's per-batch body) must also be ONE shuffle, ZERO joins in
+    conversation scope (the constant-window_start variant above pins the
+    curate_keyed half alone): the
     up-front repartition(conv_id) satisfies the session-keyed dedup agg,
     the per-tool windows, AND the conversation-scope cap window (all key
     supersets or equal), so no further exchange may appear."""
