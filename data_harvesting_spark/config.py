@@ -89,10 +89,12 @@ def validate_config(
     instead of silently diverging from batch semantics:
 
     - conversation-scope ``min_pairs_per_conv > 1`` needs the whole
-      conversation before emitting anything — incremental session emission
-      cannot retract; batch-only. (Conversation-scope cap and suppression
-      ARE streaming-exact: the kernel runner carries the cursor in state,
-      the session-window runner in its cross-batch ledger.)
+      conversation before emitting anything. The KERNEL runner implements
+      it exactly by deferring emission to the conversation's event-time
+      timeout (streaming/state.py); the session-window runner cannot
+      retract sessions its ledger already emitted, so it rejects the
+      combination. (Conversation-scope cap and suppression are
+      streaming-exact in both runners.)
     """
     from data_harvesting_spark.streaming.sink import SINKS
 
@@ -108,13 +110,18 @@ def validate_config(
         raise ConfigError(
             f"cap_scope must be 'conversation' or 'session', got {cfg.cap_scope!r}"
         )
-    if streaming_runner is not None and cfg.cap_scope == "conversation":
-        if cfg.min_pairs_per_conv > 1:
-            raise ConfigError(
-                "min_pairs_per_conv > 1 with cap_scope='conversation' is "
-                "batch-only (streaming cannot retract already-emitted "
-                "sessions); use cap_scope='session' or the batch runner"
-            )
+    if (
+        streaming_runner == "session_window"
+        and cfg.cap_scope == "conversation"
+        and cfg.min_pairs_per_conv > 1
+    ):
+        raise ConfigError(
+            "conversation-scope min_pairs_per_conv > 1 is not supported by "
+            "the session-window runner (its ledger cannot retract "
+            "already-emitted sessions); use the kernel runner (which defers "
+            "emission to the conversation timeout), cap_scope='session', or "
+            "the batch runner"
+        )
     if cfg.sample_stride < 1:
         raise ConfigError("sample_stride must be >= 1")
     if cfg.call_role == cfg.response_role:

@@ -54,7 +54,12 @@ from pyspark.sql.types import (
 
 from data_harvesting_spark.config import HarvestConfig
 from data_harvesting_spark.operators.curate_sessions import parse_duration_seconds
-from data_harvesting_spark.operators.kernel import curate_session, split_sessions
+from data_harvesting_spark.operators.kernel import (
+    curate_session,
+    curate_sessions_frame,
+    session_id_array,
+    split_sessions,
+)
 from data_harvesting_spark.schema import CURATED_SCHEMA
 
 # state = column-wise session buffer (ArrayType fields, RocksDB-friendly)
@@ -140,10 +145,17 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
                 # cursor past its retention) — forget the conversation
                 state.remove()
                 return
-            for sess in split_sessions(buf, gap_s):
-                out = curate_session(sess, cfg, carry if conv_scope else None)
-                if len(out):
-                    yield out
+            # one multi-session kernel call over the whole remaining buffer
+            # (identical semantics to per-session calls with the carried
+            # cursor, and it makes the conversation-scope min gate exact:
+            # deferred conversations are gated on their full pair count
+            # here, just like batch)
+            pdf2, sids = session_id_array(buf, gap_s)
+            out = curate_sessions_frame(
+                pdf2, sids, cfg, carry if conv_scope else None
+            )
+            if len(out):
+                yield out
             if conv_scope and carry["emitted"] > 0:
                 # keep the cap cursor so a session arriving within the
                 # retention window continues the conversation's budget
@@ -187,7 +199,12 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
 
         # closed sessions are a time-ordered prefix (earlier session ⇒
         # earlier end), so threading the conversation-scope carry through
-        # them in order reproduces the batch kernel's cumulative budget
+        # them in order reproduces the batch kernel's cumulative budget.
+        # Conversation-scope min gate: the gate needs the conversation's
+        # TOTAL pair count, so emission is deferred — every session stays
+        # buffered until the event-time timeout curates the whole
+        # conversation at once (exact batch semantics by construction).
+        defer_for_min_gate = conv_scope and cfg.min_pairs_per_conv > 1
         sessions = split_sessions(buf, gap_s)
         wm_ms = state.getCurrentWatermarkMs()
         keep: list[pd.DataFrame] = []
@@ -196,7 +213,12 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
             # strict <: an admissible event at ts == watermark == end + gap
             # would still MERGE into this session (JVM merges touching
             # windows), so the session is only closed once wm is past it
-            if not keep and wm_ms > 0 and end_ms + gap_ms < wm_ms:
+            if (
+                not defer_for_min_gate
+                and not keep
+                and wm_ms > 0
+                and end_ms + gap_ms < wm_ms
+            ):
                 out = curate_session(  # closed: no earlier-than-
                     sess, cfg, carry if conv_scope else None
                 )

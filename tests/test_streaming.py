@@ -606,6 +606,33 @@ def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
     pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
 
 
+def test_conversation_min_gate_deferred_in_stream(spark, multisession_batches, tmp_path):
+    """Conversation-scope min gate (P8) in the kernel runner: emission is
+    deferred to the conversation's event-time timeout, so the gate sees the
+    TOTAL pair count — mc-tiny (4 pairs) is dropped whole under min=5 while
+    the 9-pair conversations emit, exactly as in batch."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    cfg = _cfg(str(tmp_path), min_pairs_per_conv=5)
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    assert "mc-tiny" not in set(want["conv_id"]), "gate must drop mc-tiny"
+    assert len(want[want["conv_id"] == "mc0"]) == 9
+
+    got = run_sessionized_stream_to_completion(
+        spark, multisession_batches, cfg
+    ).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
 def test_session_scope_stream_parity(spark, multisession_batches, tmp_path):
     """cap_scope='session': each session budgets/numbers independently —
     kernel stream == batch kernel on the multi-session fixture (the
@@ -641,13 +668,22 @@ def test_streaming_config_rejections(tmp_path):
     base = dict(
         sink_path=str(tmp_path / "s"), checkpoint_dir=str(tmp_path / "c")
     )
+    # session-window runner cannot retract emitted sessions for the
+    # conversation-scope min gate; the kernel runner CAN (deferred emission)
     with pytest.raises(ConfigError):
         validate_config(
             HarvestConfig(min_pairs_per_conv=2, **base),
-            streaming_runner="kernel",
+            streaming_runner="session_window",
         )
+    validate_config(
+        HarvestConfig(min_pairs_per_conv=2, **base), streaming_runner="kernel"
+    )
     with pytest.raises(ConfigError):
         validate_config(HarvestConfig(cap_scope="bogus", **base))
+    with pytest.raises(ConfigError):
+        validate_config(
+            HarvestConfig(max_pairs_per_conv=2, min_pairs_per_conv=3, **base)
+        )
     # fine: kernel carries the suppression cursor in state; session-window
     # carries it in the cap ledger
     validate_config(
