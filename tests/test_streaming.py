@@ -577,6 +577,52 @@ def test_conversation_suppression_carry_in_stream(spark, multisession_batches, t
     pd.testing.assert_frame_equal(_canon(got_sw), _canon(want))
 
 
+def test_ledger_kill_and_resume_with_binding_cap(spark, multisession_batches, tmp_path):
+    """W7 × P9: kill-resume the session-window runner while the
+    conversation budget is BINDING — the cap ledger's per-epoch snapshots
+    must replay to the same budget decisions, so the resumed stream's
+    final output equals the uninterrupted batch reference exactly."""
+    import time
+
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path), max_pairs_per_conv=4)
+    q = start_curate_job_session_window(
+        spark, multisession_batches, cfg, available_now=False
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_curate_job_session_window(
+        spark, multisession_batches, cfg, available_now=False
+    )
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+    # budget still binds after resume: exactly 4 per multi-session conv
+    assert (got.groupby("conv_id").size().loc[["mc0", "mc1", "mc2", "mc3"]] == 4).all()
+
+
 def test_min_pairs_session_scope_parity(spark, multisession_batches, tmp_path):
     """Session-scope min gate (P8): a 1-pair session is dropped when
     min_pairs_per_conv=2, identically in the kernel and the declarative
