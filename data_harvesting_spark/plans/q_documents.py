@@ -539,6 +539,44 @@ def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(aug).alias("red_text"))
 
 
+# ---------------------------------------------------------------- frames
+# The 1→N frame fan-out is oracle-expressible because the block kernel is
+# deterministic and the documents are ASCII (bytes == chars — asserted
+# above): DuckDB re-derives every sampled frame via substring + encode.
+_FRAMES_SQL = """
+WITH media AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id, text,
+         CAST(ceil(octet_length(encode(text)) / 16.0) AS INT) AS n
+  FROM documents
+),
+idx AS (
+  SELECT media_id, text, n, CAST(unnest(range(0, n, 3)) AS INT) AS frame_idx
+  FROM media
+)
+SELECT media_id, frame_idx, n AS n_frames,
+       upper(hex(encode(substring(text, frame_idx * 16 + 1, 16)))) AS frame_hex
+FROM idx
+"""
+
+
+@register("media_frames", _FRAMES_SQL)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a catalog query: one media row fans out to every
+    3rd 16-byte frame via mapInPandas (operators/multimodal.py); frames
+    hex-encoded for the cross-engine compare."""
+    from data_harvesting_spark.operators.multimodal import frame_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = frame_sample(media, stride=3, frame_bytes=16)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
+    )
+
+
 _TOKENS_SQL = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
