@@ -59,6 +59,63 @@ def read_epoch_sink(spark: SparkSession, sink_path: str) -> DataFrame:
     return df.drop("_epoch")
 
 
+def _recover_buckets(sink_path: str) -> None:
+    """Roll the sink forward/back out of any interrupted bucket swap.
+
+    ``write_merge`` promotes a bucket in atomic renames: stage ``.new``,
+    rename live → ``.old``, rename ``.new`` → live, delete ``.old``. A hard
+    crash can strand suffixed dirs; every crash window leaves a state this
+    recovery resolves without losing the pre-epoch rows (the interrupted
+    epoch then replays and re-merges idempotently):
+
+    - live dir present → any ``.old``/``.new`` siblings are stale; delete.
+    - live missing, ``.old`` present (crash between the two renames) →
+      restore ``.old`` as live, delete ``.new``.
+    - only ``.new`` (first write of a fresh bucket) → delete; the replayed
+      epoch regenerates it.
+    """
+    if not os.path.isdir(sink_path):
+        return
+    names = set(os.listdir(sink_path))
+    for name in sorted(names):
+        for suffix in (".old", ".new"):
+            if not (name.startswith("_bucket=") and name.endswith(suffix)):
+                continue
+            live = name[: -len(suffix)]
+            path = os.path.join(sink_path, name)
+            if live in names:
+                shutil.rmtree(path, ignore_errors=True)
+            elif suffix == ".old":
+                os.rename(path, os.path.join(sink_path, live))
+                names.add(live)
+                stale_new = live + ".new"
+                if stale_new in names:
+                    shutil.rmtree(
+                        os.path.join(sink_path, stale_new), ignore_errors=True
+                    )
+                    names.discard(stale_new)
+            elif live + ".old" not in names:
+                shutil.rmtree(path, ignore_errors=True)
+
+
+def _promote_bucket(tmp: str, sink_path: str, bucket: int) -> None:
+    """Crash-safe bucket swap: atomic sibling renames only, so the prior
+    contents survive on disk until the new dir is fully in place (any
+    interruption is undone by ``_recover_buckets`` on the next call)."""
+    src = os.path.join(tmp, f"_bucket={bucket}")
+    if not os.path.isdir(src):
+        return
+    dst = os.path.join(sink_path, f"_bucket={bucket}")
+    staged, old = dst + ".new", dst + ".old"
+    shutil.rmtree(staged, ignore_errors=True)
+    os.rename(src, staged)
+    if os.path.isdir(dst):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dst, old)
+    os.rename(staged, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
     """Keyed upsert emulation over parquet (single-writer streaming only),
     partition-scoped: the sink is hash-bucketed by conv_id and an epoch
@@ -67,10 +124,13 @@ def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
 
     Idempotent under W7 replay: re-running an epoch regenerates the same
     merged bucket contents (anti-join on the curated key replaces, never
-    duplicates). Production: Iceberg ``MERGE INTO`` on the same key
+    duplicates), and bucket promotion is crash-safe (atomic rename swap +
+    ``_recover_buckets``: the live dir is never deleted before its
+    replacement exists). Production: Iceberg ``MERGE INTO`` on the same key
     (``write_iceberg_merge``); this is the jar-free local stand-in.
     """
     spark = df.sparkSession
+    _recover_buckets(sink_path)
     batch = df.dropDuplicates(CURATED_KEY + ["example_idx"]).withColumn(
         "_bucket", _bucket_col()
     )
@@ -102,16 +162,12 @@ def write_merge(df: DataFrame, epoch_id: int, sink_path: str) -> None:
         batch.unpersist()
     os.makedirs(sink_path, exist_ok=True)
     for b in touched:
-        src = os.path.join(tmp, f"_bucket={b}")
-        dst = os.path.join(sink_path, f"_bucket={b}")
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        if os.path.isdir(src):
-            shutil.move(src, dst)
+        _promote_bucket(tmp, sink_path, b)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_merge_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    _recover_buckets(sink_path)
     return spark.read.parquet(sink_path).drop("_bucket")
 
 

@@ -874,6 +874,73 @@ def test_merge_sink_rewrites_only_touched_buckets(spark, fixture_batches, tmp_pa
     assert any(p.startswith(touched_dir) for p in after)
 
 
+def test_merge_sink_crash_safe_promotion(spark, fixture_batches, tmp_path):
+    """W7 hardening (r2 ADVICE): a hard crash at ANY point inside the
+    bucket swap must never lose previously-merged rows. The promotion is
+    atomic sibling renames (stage ``.new`` → live→``.old`` → ``.new``→live
+    → drop ``.old``); each interruption window is constructed on disk, the
+    epoch is replayed, and the keyed output set must equal the
+    uninterrupted run's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.sink import (
+        _bucket_col,
+        read_merge_sink,
+        write_merge,
+    )
+
+    cfg = _cfg(str(tmp_path), sink_format="parquet-merge")
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        fixture_batches + "/*.parquet"
+    )
+    curated = curate_sessions(t, cfg)
+    sink = str(tmp_path / "merged_crash")
+    write_merge(curated, 0, sink)
+    expected = _canon(read_merge_sink(spark, sink).toPandas())
+    assert len(expected) > 0
+
+    some_convs = sorted(
+        r[0] for r in curated.select("conv_id").distinct().limit(3).collect()
+    )
+    replay = curated.where(F.col("conv_id").isin(some_convs))
+    bucket = replay.select(_bucket_col().alias("b")).distinct().collect()[0][0]
+    live = os.path.join(sink, f"_bucket={bucket}")
+
+    # window 1: crash after staging .new, before touching the live dir
+    shutil.copytree(live, live + ".new")
+    write_merge(replay, 1, sink)
+    pd.testing.assert_frame_equal(
+        expected, _canon(read_merge_sink(spark, sink).toPandas())
+    )
+
+    # window 2: crash between live→.old and .new→live — the live dir is
+    # GONE; the old code's rmtree-then-move window lost these rows
+    os.rename(live, live + ".old")
+    shutil.copytree(live + ".old", live + ".new")
+    assert not os.path.isdir(live)
+    write_merge(replay, 2, sink)
+    pd.testing.assert_frame_equal(
+        expected, _canon(read_merge_sink(spark, sink).toPandas())
+    )
+
+    # window 3: crash after .new→live, before dropping .old
+    shutil.copytree(live, live + ".old")
+    write_merge(replay, 3, sink)
+    pd.testing.assert_frame_equal(
+        expected, _canon(read_merge_sink(spark, sink).toPandas())
+    )
+
+    # the reader alone must also roll an interrupted swap forward
+    os.rename(live, live + ".old")
+    got = _canon(read_merge_sink(spark, sink).toPandas())
+    pd.testing.assert_frame_equal(expected, got)
+    assert os.path.isdir(live) and not os.path.isdir(live + ".old")
+
+
 def test_iceberg_merge_sql_parses_and_gates(spark):
     """The Iceberg MERGE path can't run here (no jars offline), but the
     statement itself must be valid DSv2 SQL — parse it with vanilla
