@@ -39,8 +39,15 @@ class HarvestConfig:
     # conversation-scope streaming only: how long the kernel runner retains
     # a conversation's (emitted, suppress_until) counters after its last
     # session closed, so a later session continues the count instead of
-    # restarting at 0. Exact batch parity holds for conversations whose
-    # inter-session event-time gaps stay under this retention.
+    # restarting at 0. When min_pairs_per_conv > 1 and the gate failed with
+    # pairs present, the runner retains the un-emitted BUFFER for the same
+    # window so a later session pools toward the gate, exactly as batch
+    # pools the whole conversation. Exact batch parity therefore holds —
+    # gate-failing conversations included — whenever inter-session
+    # event-time gaps stay under this retention; beyond it the stream
+    # (correctly, and by documented design) treats the conversation as
+    # finished. The session-window runner's cap ledger evicts on the same
+    # retention (streaming/pipeline.py).
     cap_state_retention: str = "7 days"
     # P10 — post-emission suppression window, in turns
     # (reference: FRAMES_SKIP_AFTER_DETECT)

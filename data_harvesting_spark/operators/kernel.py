@@ -179,8 +179,7 @@ def curate_sessions_frame(
             emitted += 1
             suppress_until = resp_idx + cfg.suppress_turns_after_emit
         merged = merged.loc[keep_rows]
-        if conv_scope and carry is not None:
-            carry["suppress_until"] = int(suppress_until)
+        swept_sup = int(suppress_until)
     elif cfg.max_pairs_per_conv:
         if conv_scope:
             merged = merged.head(max(0, cfg.max_pairs_per_conv - emitted0))
@@ -192,6 +191,11 @@ def curate_sessions_frame(
         # (batch-only when streaming — see validate_config)
         if conv_scope:
             if emitted0 + len(merged) < cfg.min_pairs_per_conv:
+                if carry is not None:
+                    # tell the streaming caller pairs existed but were
+                    # gated — it retains the buffer so a later session can
+                    # pool with them (batch parity under the retention)
+                    carry["gate_blocked"] = int(len(merged))
                 merged = merged.iloc[0:0]
         else:
             sizes = merged.groupby("_sid")["_sid"].transform("size")
@@ -200,6 +204,12 @@ def curate_sessions_frame(
     n = len(merged)
     if conv_scope and carry is not None:
         carry["emitted"] = emitted0 + n
+        if cfg.suppress_turns_after_emit > 0:
+            # the cursor must reflect rows actually EMITTED: if the min
+            # gate just emptied the emission set, the sweep's spacing never
+            # happened from the caller's point of view, so the carried
+            # cursor reverts to its pre-call value (r2 ADVICE latent trap)
+            carry["suppress_until"] = swept_sup if n > 0 else sup0
     if n == 0:
         return _EMPTY.copy()
     example_idx = (

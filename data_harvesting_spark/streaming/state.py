@@ -156,15 +156,38 @@ def make_correlator(cfg: HarvestConfig, late_counter=None):
             )
             if len(out):
                 yield out
+            last_ms = buf["ts"].max().value // 1_000_000
+            wm = state.getCurrentWatermarkMs()
             if conv_scope and carry["emitted"] > 0:
                 # keep the cap cursor so a session arriving within the
                 # retention window continues the conversation's budget
                 # instead of restarting at 0 (exact batch parity for
                 # inter-session gaps < cap_state_retention)
-                last_ms = buf["ts"].max().value // 1_000_000
-                wm = state.getCurrentWatermarkMs()
                 state.update(
                     _EMPTY_BUFFER
+                    + (carry["emitted"], carry["suppress_until"])
+                )
+                state.setTimeoutTimestamp(
+                    max(last_ms + gap_ms + retention_ms, wm + 1)
+                )
+            elif (
+                conv_scope
+                and cfg.min_pairs_per_conv > 1
+                and carry["emitted"] == 0
+                and carry.get("gate_blocked", 0) > 0
+                and wm < last_ms + gap_ms + retention_ms
+            ):
+                # min gate failed with nothing emitted: keep the BUFFER
+                # (not just counters) for the retention window, so a later
+                # session pools with these pairs and the gate sees the
+                # conversation total — exactly as batch would (r2 ADVICE:
+                # dropping here made earlier pairs never count). At the
+                # retention-expiry timeout wm has passed last+gap+retention,
+                # so this branch is not re-entered — the state is removed
+                # and the conversation stays gated, batch-equal for any
+                # inter-session gap under the retention.
+                state.update(
+                    _pdf_to_buffer(buf)
                     + (carry["emitted"], carry["suppress_until"])
                 )
                 state.setTimeoutTimestamp(

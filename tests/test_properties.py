@@ -48,6 +48,56 @@ def test_sweep_group_matches_bruteforce(idxs, max_emit, suppress, emitted0, sup0
     assert got == want
 
 
+def _pair_frame(n_pairs: int, spacing: int = 4) -> pd.DataFrame:
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for p in range(n_pairs):
+        t0 = p * spacing
+        rows.append(("k1", t0, "assistant", f"call {p}", "search",
+                     base + pd.Timedelta(seconds=20 * p), 100 + 2 * p))
+        rows.append(("k1", t0 + 1, "tool", f"result {p}", "search",
+                     base + pd.Timedelta(seconds=20 * p + 10), 101 + 2 * p))
+    return pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "text_hash"],
+    )
+
+
+def test_carry_cursor_reflects_only_emitted_rows():
+    """r2 ADVICE: the conversation-scope suppression cursor must be
+    committed AFTER the min gate — if the gate empties the emission set,
+    the carried ``suppress_until`` reverts to its pre-call value instead of
+    recording spacing for rows that were never emitted."""
+    import numpy as np
+
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.kernel import curate_sessions_frame
+
+    pdf = _pair_frame(2)
+    sids = np.zeros(len(pdf), dtype=np.int64)
+
+    # gate fails (2 pairs < min 5): nothing emitted, cursor untouched
+    cfg = HarvestConfig(
+        suppress_turns_after_emit=2, min_pairs_per_conv=5, max_pairs_per_conv=10
+    )
+    carry = {"emitted": 0, "suppress_until": -1}
+    out = curate_sessions_frame(pdf.copy(), sids, cfg, carry)
+    assert len(out) == 0
+    assert carry["emitted"] == 0
+    assert carry["suppress_until"] == -1, "cursor leaked from gated-away rows"
+    assert carry["gate_blocked"] == 2
+
+    # gate passes (2 >= min 2): cursor records the last emitted response
+    cfg2 = HarvestConfig(
+        suppress_turns_after_emit=2, min_pairs_per_conv=2, max_pairs_per_conv=10
+    )
+    carry2 = {"emitted": 0, "suppress_until": -1}
+    out2 = curate_sessions_frame(pdf.copy(), sids, cfg2, carry2)
+    assert len(out2) == 2
+    assert carry2["emitted"] == 2
+    assert carry2["suppress_until"] == int(out2["response_turn_idx"].max()) + 2
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     ts_offsets=st.lists(st.integers(0, 50_000), min_size=1, max_size=40),
