@@ -311,20 +311,54 @@ def _cap_with_ledger(
     unchanged snapshot N-1 and overwrites snapshot N with identical content
     — exactly-once composes with the idempotent sink. At production scale
     the ledger becomes an Iceberg table and the snapshot merge a MERGE
-    INTO; the per-epoch cost is O(conversations seen), not O(sink size).
+    INTO.
+
+    Bounded width (r2 VERDICT): each snapshot row carries the
+    conversation's last event time, and a conversation whose
+    ``last + session_gap + cap_state_retention`` has fallen behind the
+    batch's max event time is EVICTED from the snapshot — mirroring the
+    kernel runner's tombstone timeout (streaming/state.py). Per-epoch
+    ledger cost is therefore O(conversations active within the retention),
+    not O(all conversations ever seen). The batch max event time is a
+    conservative stand-in for the watermark (it is always >= every closed
+    session's end, and the true watermark is ahead of it by at most the
+    watermark delay), so eviction never fires earlier than the kernel
+    runner's timeout would.
     """
     from pyspark.sql import Window
 
     from data_harvesting_spark.functions.text import text_hash
     from data_harvesting_spark.operators.curate import curate_keyed_pairs
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
 
     spark = turns.sparkSession
     keys = ("conv_id", "window_start")
     sup = cfg.suppress_turns_after_emit
+    horizon_ms = int(
+        (
+            parse_duration_seconds(cfg.session_gap)
+            + parse_duration_seconds(cfg.cap_state_retention)
+        )
+        * 1000
+    )
+    # consumed by curation AND the activity/eviction aggregates below —
+    # without persist each action would re-execute the micro-batch plan
+    turns = turns.persist()
+    hi = turns.agg(
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("hi")
+    ).collect()[0][0]
+    acts = turns.groupBy("conv_id").agg(
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("_act_ms")
+    )
     pairs = curate_keyed_pairs(turns, cfg, keys)
     prior = _read_cap_ledger(spark, ledger_path, epoch_id)
     if prior is not None and "suppress_until" not in prior.columns:
         prior = prior.withColumn("suppress_until", F.lit(-1).cast("long"))
+    if prior is not None and "last_ms" not in prior.columns:
+        # pre-eviction snapshot format: treat every row as just-active
+        prior = prior.withColumn("last_ms", F.lit(hi).cast("long"))
     if prior is not None:
         pairs = pairs.join(
             prior.select(
@@ -366,18 +400,22 @@ def _cap_with_ledger(
     curated = curated.persist()
     # cursor update is declarative: kept-count and (if suppressing) the
     # last kept response index + spacing; a conv with nothing kept this
-    # epoch keeps its prior cursor via the full-outer coalesce
+    # epoch keeps its prior cursor via the full-outer coalesce. ``acts``
+    # (every conversation with ANY turn this batch) refreshes last_ms even
+    # when nothing was kept, so an active-but-capped conversation is not
+    # evicted while it still produces sessions.
     upd = curated.groupBy("conv_id").agg(
         F.count("*").cast("long").alias("_new"),
         F.max("response_turn_idx").cast("long").alias("_last_resp"),
     )
+    batch_info = acts.join(upd, "conv_id", "left")
     new_sup = (
         (F.col("_last_resp") + F.lit(sup)).cast("long")
         if sup > 0
         else F.lit(None).cast("long")
     )
     if prior is not None:
-        snapshot = prior.join(upd, "conv_id", "full_outer").select(
+        snapshot = prior.join(batch_info, "conv_id", "full_outer").select(
             "conv_id",
             (
                 F.coalesce(F.col("emitted"), F.lit(0))
@@ -386,19 +424,29 @@ def _cap_with_ledger(
             F.coalesce(new_sup, F.col("suppress_until"), F.lit(-1))
             .cast("long")
             .alias("suppress_until"),
+            F.greatest(
+                F.coalesce(F.col("last_ms"), F.lit(-1)),
+                F.coalesce(F.col("_act_ms"), F.lit(-1)),
+            ).cast("long").alias("last_ms"),
         )
     else:
-        snapshot = upd.select(
+        snapshot = batch_info.select(
             "conv_id",
-            F.col("_new").cast("long").alias("emitted"),
+            F.coalesce(F.col("_new"), F.lit(0)).cast("long").alias("emitted"),
             F.coalesce(new_sup, F.lit(-1)).cast("long").alias("suppress_until"),
+            F.col("_act_ms").cast("long").alias("last_ms"),
         )
+    if hi is not None:
+        # retention eviction (kernel-runner tombstone analog): forget
+        # conversations whose budget window has fully expired
+        snapshot = snapshot.where(F.col("last_ms") + horizon_ms >= F.lit(hi))
     # few output files: the snapshot is one small row per conversation;
     # 32 shuffle-partition files per epoch would be pure listing overhead
     # (coalesce is a narrow dep — the agg above still runs parallel)
     snapshot.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(ledger_path, f"_epoch={epoch_id}")
     )
+    turns.unpersist()
     _prune_cap_ledger(ledger_path, epoch_id)
     return curated
 

@@ -679,6 +679,79 @@ def test_conversation_min_gate_deferred_in_stream(spark, multisession_batches, t
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
 
+def test_min_gate_failed_buffer_retained_for_pooling(spark, tmp_path_factory, tmp_path):
+    """r2 ADVICE: when the conversation timeout fires and the min gate
+    fails (nothing emitted), the kernel runner must RETAIN the buffered
+    pairs for ``cap_state_retention`` so a later session pools toward the
+    gate, exactly as batch pools the whole conversation.
+
+    conv gf: 1-pair session, gate-fail timeout fires, then a second 1-pair
+    session arrives within the retention → min=2 is met by the POOLED total
+    → both pairs emit, batch-equal. conv gx: identical, but its second
+    session arrives after the retention expired (watermark passed
+    last+gap+retention first) → stays gated, the documented beyond-
+    retention divergence."""
+    import time as _time
+
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        run_sessionized_stream_to_completion,
+    )
+
+    base = pd.Timestamp("2026-03-01 00:00:00")
+
+    def pair(conv, idx0, t0):
+        return [
+            (conv, idx0, "assistant", f"call {idx0} {conv}", "search", t0),
+            (conv, idx0 + 1, "tool", f"result {idx0} {conv}", "search",
+             t0 + pd.Timedelta(seconds=10)),
+        ]
+
+    def hb(ts):
+        return [("hb", int(ts.value % 10_000), "user", "beat", None, ts)]
+
+    files = [
+        pair("gf", 0, base) + pair("gx", 0, base),
+        hb(base + pd.Timedelta(hours=1)),
+        # timer batch: wm = base+50m > gate-fail timeouts (base+30m10s) —
+        # both convs hit the gate-fail retention branch here
+        hb(base + pd.Timedelta(minutes=65)),
+        pair("gf", 2, base + pd.Timedelta(hours=1)),       # within retention
+        hb(base + pd.Timedelta(minutes=150)),
+        # wm = base+2h20m > gx's retention end (base+1h30m10s): gx evicted;
+        # gf's pooled conversation times out and emits
+        hb(base + pd.Timedelta(minutes=155)),
+        pair("gx", 2, base + pd.Timedelta(hours=3)),       # beyond retention
+        [("conv-flush", 0, "user", "flush", "flush", base + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("gatefail_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+
+    cfg = _cfg(
+        str(tmp_path), min_pairs_per_conv=2, cap_state_retention="1 hour"
+    )
+    got = run_sessionized_stream_to_completion(spark, str(d), cfg).toPandas()
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d) + "/*.parquet")
+    want = curate_sessions(t, cfg).toPandas()
+    want_gf = want[want["conv_id"] == "gf"]
+    assert len(want_gf) == 2, "batch must pool gf's sessions past the gate"
+
+    got_gf = got[got["conv_id"] == "gf"]
+    pd.testing.assert_frame_equal(_canon(got_gf), _canon(want_gf))
+    # beyond the retention the stream (by documented design) keeps gx gated
+    assert len(got[got["conv_id"] == "gx"]) == 0
+    assert set(got["conv_id"]) == {"gf"}
+
+
 def test_session_scope_stream_parity(spark, multisession_batches, tmp_path):
     """cap_scope='session': each session budgets/numbers independently —
     kernel stream == batch kernel on the multi-session fixture (the
@@ -872,6 +945,76 @@ def test_merge_sink_rewrites_only_touched_buckets(spark, fixture_batches, tmp_pa
     for p, m in unchanged.items():
         assert p in after and after[p] == m, f"untouched file rewritten: {p}"
     assert any(p.startswith(touched_dir) for p in after)
+
+
+def test_cap_ledger_evicts_expired_conversations(spark, tmp_path_factory, tmp_path):
+    """r2 VERDICT top item: the session-window runner's cap ledger must be
+    O(conversations active within cap_state_retention), not O(all
+    conversations ever seen). Many short-lived conversations stream
+    through; once the batch event-time horizon passes their
+    last + gap + retention, their ledger rows are evicted — only the
+    recently-active conversations remain in the final snapshot."""
+    import re
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    base = pd.Timestamp("2026-04-01 00:00:00")
+
+    def pair(conv, idx0, t0):
+        return [
+            (conv, idx0, "assistant", f"call {idx0} {conv}", "search", t0),
+            (conv, idx0 + 1, "tool", f"result {idx0} {conv}", "search",
+             t0 + pd.Timedelta(seconds=10)),
+        ]
+
+    early = []
+    for i in range(10):
+        early += pair(f"e{i}", 0, base + pd.Timedelta(minutes=i))
+    files = [
+        early,
+        [("hb", 0, "user", "beat", None, base + pd.Timedelta(hours=1))],
+        pair("L0", 0, base + pd.Timedelta(days=3))
+        + pair("L1", 0, base + pd.Timedelta(days=3, minutes=1)),
+        [("conv-flush", 0, "user", "flush", "flush",
+          base + pd.Timedelta(days=3, hours=6))],
+    ]
+    d = tmp_path_factory.mktemp("evict_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+
+    cfg = _cfg(str(tmp_path), cap_state_retention="1 hour")
+    q = start_curate_job_session_window(spark, str(d), cfg, available_now=False)
+    drain(q)
+
+    # every conversation's pairs still emitted exactly once
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    assert set(got["conv_id"]) == {f"e{i}" for i in range(10)} | {"L0", "L1"}
+    assert (got.groupby("conv_id").size() == 1).all()
+
+    # the final ledger snapshot holds ONLY conversations still inside the
+    # retention horizon — the 10 early ones (3 days stale) are gone
+    ledger = cfg.sink_path.rstrip("/") + ".capledger"
+    epochs = sorted(
+        int(m.group(1))
+        for m in (re.match(r"_epoch=(\d+)$", x) for x in os.listdir(ledger))
+        if m
+    )
+    snap = spark.read.parquet(
+        os.path.join(ledger, f"_epoch={epochs[-1]}")
+    ).toPandas()
+    assert set(snap["conv_id"]) == {"L0", "L1"}, snap["conv_id"].tolist()
+    assert (snap["emitted"] == 1).all()
 
 
 def test_merge_sink_crash_safe_promotion(spark, fixture_batches, tmp_path):
