@@ -135,6 +135,56 @@ def start_rates_job(
     return writer.start()
 
 
+def start_dedup_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming-native exact dedup (A1 × W5): cross-micro-batch duplicate
+    drop on ``(conv_id, xxhash64(normalized text))`` with watermark-bounded
+    state — the streaming analog of ``operators/curate.py::dedup_turns``
+    and of the reference tracker's persistent dedup-by-id
+    (`/root/reference/condition.py:22-24`).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first-arriving copy of a
+    key and evicts the key's state once the watermark passes its event
+    time + delay, so state is O(keys inside the watermark window), never
+    O(keys ever seen) — the bounded-state posture a long-lived stream
+    needs (contrast: plain streaming ``dropDuplicates`` grows state
+    forever). All JVM-side: the hash is ``xxhash64`` over the normalized
+    text exactly as in batch, and the stateful operator is Spark's native
+    one (RocksDB-backed).
+
+    Parity contract vs batch dedup (keep-first-by-turn_idx): exact when a
+    duplicate arrives within ``watermark_delay`` of its original and after
+    it (the normal arrival contract, fixture-pinned by
+    tests/test_streaming.py::test_dedup_stream_equals_batch). A duplicate
+    surfacing later than the delay is re-emitted BY DESIGN — that is the
+    price of bounded state, and the idempotent downstream sink (keyed
+    MERGE) absorbs it.
+    """
+    from data_harvesting_spark.functions.text import normalize_text
+
+    stream = read_transcript_stream(spark, source_dir)
+    deduped = (
+        stream.withColumn("norm_hash", F.xxhash64(normalize_text("text")))
+        .withWatermark("ts", cfg.watermark_delay)
+        .dropDuplicatesWithinWatermark(["conv_id", "norm_hash"])
+        .drop("norm_hash")
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, epoch: sink_for("epoch")(df, epoch, sink_path))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:
