@@ -634,6 +634,59 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Partial oracle for the clustering family (r2 VERDICT item): the k=1
+# KMeans centroid IS the per-group mean — exactly SQL-expressible — so the
+# kernel's accumulation math is value-checked even though the k>1
+# iterative path (embedding_clusters) has no oracle by nature.
+_CENTROID_K1_SQL = """
+WITH e AS (
+  SELECT CAST(label AS VARCHAR) AS group_key,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT group_key,
+         CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim_idx,
+         unnest(v) AS val
+  FROM e
+),
+counts AS (
+  SELECT group_key, COUNT(*) AS n_members FROM e GROUP BY group_key
+)
+SELECT x.group_key, x.dim_idx,
+       round(avg(x.val), 6) AS centroid_val,
+       c.n_members
+FROM x JOIN counts c ON x.group_key = c.group_key
+GROUP BY x.group_key, x.dim_idx, c.n_members
+"""
+
+
+@register("embedding_centroid_k1", _CENTROID_K1_SQL)
+def q_embedding_centroid_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 partial oracle: per-group KMeans with k=1 through the SAME
+    ``cluster_groups`` kernel as ``embedding_clusters`` — its centroid is
+    the per-group mean, value-checked dimension-by-dimension against SQL
+    (reference accumulation analog: `utils/ClassificationObject.py:139-147`
+    centroid arithmetic feeding `utils/ColorDetector.py:93-119`)."""
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").cast("string").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    out = cluster_groups(emb, "grp", "v", k=1, k_mode="fixed")
+    return out.select(
+        "group_key",
+        "n_members",
+        F.posexplode("centroid").alias("dim_idx", "c"),
+    ).select(
+        "group_key",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("c", 6).alias("centroid_val"),
+        "n_members",
+    )
+
+
 # Oracle for IVF via the deterministic data-anchor quantizer: centroids =
 # the corpus rows with vec_id % 37 == 0 (id-bounded), reproducible in SQL.
 # Argmax stability across engines measured: min top1-top2 cosine margin
