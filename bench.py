@@ -390,8 +390,34 @@ def run_ceiling(lo_cores: int = 2, rounds: int = 3) -> dict:
     }
 
 
+def prepare_stream_source(n_turns: int, out_dir: str, n_slices: int = 8) -> str:
+    """Generate n_turns transcripts and lay them out as n_slices
+    event-time-ordered parquet files with increasing mtimes — the replay
+    layout every streaming job/bench consumes (micro-batch per file)."""
+    import glob as _glob
+
+    from data_harvesting_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    data_dir = generate_scale_input(n_turns)
+    spark = get_spark("bench-src", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(data_dir).repartitionByRange(n_slices, "ts").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    now = time.time()
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(out_dir, "part-*")))):
+        os.utime(p, (now + i, now + i))
+    spark.stop()
+    return out_dir
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--ceiling":
+    if len(sys.argv) > 1 and sys.argv[1] == "--prepare-src":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+        out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/dhs_submit_src_big"
+        print(prepare_stream_source(n, out))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ceiling":
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
         print(json.dumps(run_ceiling(lo)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":

@@ -26,6 +26,13 @@ def main() -> None:
     ap.add_argument("--source", required=True, help="parquet dir of transcripts")
     ap.add_argument("--workdir", required=True, help="sink + checkpoint root")
     ap.add_argument("--stream", action="store_true", help="streaming mode")
+    ap.add_argument(
+        "--runner",
+        choices=["kernel", "session_window"],
+        default="kernel",
+        help="streaming runner: stateful pandas kernel (reference for "
+        "custom per-key state) or JVM session_window (the scale path)",
+    )
     ap.add_argument("--gap", default="30 minutes")
     ap.add_argument("--watermark", default="10 minutes")
     args = ap.parse_args()
@@ -44,8 +51,11 @@ def main() -> None:
     t0 = time.time()
     if args.stream:
         from data_harvesting_spark.streaming.pipeline import (
-            run_sessionized_stream_to_completion,
+            drain,
+            start_curate_job,
+            start_curate_job_session_window,
         )
+        from data_harvesting_spark.streaming.sink import read_epoch_sink
 
         cfg = HarvestConfig(
             session_gap=args.gap,
@@ -54,9 +64,15 @@ def main() -> None:
             sink_path=os.path.join(args.workdir, "curated"),
             checkpoint_dir=os.path.join(args.workdir, "ckpt"),
         )
-        out = run_sessionized_stream_to_completion(spark, args.source, cfg)
-        n = out.count()
-        mode = "stream"
+        starter = (
+            start_curate_job_session_window
+            if args.runner == "session_window"
+            else start_curate_job
+        )
+        q = starter(spark, args.source, cfg, available_now=False)
+        drain(q)
+        n = read_epoch_sink(spark, cfg.sink_path).count()
+        mode = f"stream/{args.runner}"
     else:
         from data_harvesting_spark.config import HarvestConfig
         from data_harvesting_spark.operators.curate import curate
