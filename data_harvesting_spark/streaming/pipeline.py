@@ -185,6 +185,156 @@ def start_dedup_stream_job(
     return writer.start()
 
 
+def _read_hash_ledger(spark: SparkSession, ledger_path: str, epoch_id: int):
+    """Latest seen-hash snapshot strictly before ``epoch_id`` (same
+    per-epoch frozen-pre-state replay design as ``_read_cap_ledger``)."""
+    return _read_cap_ledger(spark, ledger_path, epoch_id)
+
+
+def start_training_export_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+    min_words: int = 3,
+):
+    """The batch ``training_export`` catalog query as ONE continuous
+    stream: stateful curate → CROSS-CONVERSATION, cross-micro-batch exact
+    response dedup → min-words quality gate → PII redaction → idempotent
+    epoch sink.
+
+    Why the dedup is in ``foreachBatch`` and not a chained
+    ``dropDuplicatesWithinWatermark``: the session kernel only emits a
+    session after the watermark has passed its end + gap, so every
+    emitted row is already "late" w.r.t. the global watermark — Spark's
+    multi-stateful-operator correctness check rejects the chain (verified
+    empirically; disabling the check would silently drop every row).
+    Instead the seen-response-hash set lives in a per-epoch snapshotted
+    ledger exactly like the cap ledger: epoch N reads frozen snapshot
+    N-1, anti-joins this batch's pairs, writes snapshot N — a replayed
+    epoch re-reads the same pre-state, so the composition with the
+    idempotent sink stays exactly-once. Ledger rows carry a last-seen
+    event time and are retention-evicted (``cfg.cap_state_retention``),
+    so ledger width is O(distinct responses inside the retention); a
+    duplicate response surfacing beyond the retention re-emits, the same
+    bounded-state trade every watermark-bounded streaming dedup makes.
+
+    Batch-parity contract (pinned by
+    tests/test_streaming.py::test_training_export_stream_equals_batch):
+    first-ARRIVING response wins across batches; within a batch the
+    (conv_id, example_idx) minimum wins — equal to the batch pipeline's
+    global keep-first whenever arrival order respects it. The ledger
+    records first-seen hashes BEFORE the quality gate, as in batch (a
+    low-quality first copy suppresses later duplicates rather than
+    letting one through).
+    """
+    from pyspark.sql import Window
+
+    from data_harvesting_spark.config import validate_config
+    from data_harvesting_spark.functions.text import (
+        quality_features,
+        redact_pii,
+    )
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
+
+    validate_config(cfg, streaming_runner="kernel")
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    ledger_path = cfg.sink_path.rstrip("/") + ".seenhashes"
+    retention_ms = int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    curated = curated_stream(stream, cfg, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        batch = df.persist()
+        try:
+            hi = batch.agg(
+                (F.unix_micros(F.max("window_start")) / 1000)
+                .cast("long")
+                .alias("hi")
+            ).collect()[0][0]
+            # within-batch keep-first on the response hash, deterministic
+            w = Window.partitionBy("text_hash").orderBy(
+                "conv_id", "example_idx"
+            )
+            firsts = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+            if prior is not None:
+                fresh = firsts.join(
+                    prior.select("text_hash"), "text_hash", "left_anti"
+                )
+            else:
+                fresh = firsts
+            fresh = fresh.persist()
+            exported = (
+                fresh.where(
+                    quality_features(F.col("response_text"))["n_words"]
+                    >= min_words
+                )
+                .select(
+                    "conv_id",
+                    "window_start",
+                    "example_idx",
+                    "tool",
+                    "call_text",
+                    redact_pii(F.col("response_text")).alias("response_red"),
+                    "text_hash",
+                )
+            )
+            write_epoch(exported, epoch_id, cfg.sink_path)
+            # snapshot N = prior ∪ this batch's first-seen hashes (pre-
+            # quality, as in batch), retention-evicted on last-seen time
+            upd = fresh.groupBy("text_hash").agg(
+                (F.unix_micros(F.max("window_start")) / 1000)
+                .cast("long")
+                .alias("_new_ms")
+            )
+            if prior is not None:
+                snapshot = prior.join(upd, "text_hash", "full_outer").select(
+                    "text_hash",
+                    F.greatest(
+                        F.coalesce(F.col("last_ms"), F.lit(-1)),
+                        F.coalesce(F.col("_new_ms"), F.lit(-1)),
+                    ).cast("long").alias("last_ms"),
+                )
+            else:
+                snapshot = upd.select(
+                    "text_hash", F.col("_new_ms").cast("long").alias("last_ms")
+                )
+            if hi is not None:
+                snapshot = snapshot.where(
+                    F.col("last_ms") + retention_ms >= F.lit(hi)
+                )
+            snapshot.coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(ledger_path, f"_epoch={epoch_id}")
+            )
+            fresh.unpersist()
+            _prune_cap_ledger(ledger_path, epoch_id)
+        finally:
+            batch.unpersist()
+
+    writer = (
+        curated.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:

@@ -1072,6 +1072,142 @@ def test_dedup_stream_kill_and_resume(spark, dedup_batches, tmp_path):
     pd.testing.assert_frame_equal(_canon_turns(got), _canon_turns(want))
 
 
+@pytest.fixture(scope="module")
+def export_batches(tmp_path_factory):
+    """Cross-conversation duplicate responses arriving in LATER
+    micro-batches (and later epochs — the sessions provably close in
+    different foreachBatch epochs), plus a low-quality first copy whose
+    hash must still suppress later duplicates."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def pair(conv, idx0, t0, call, resp):
+        return [
+            (conv, idx0, "assistant", call, "search", t0),
+            (conv, idx0 + 1, "tool", resp, "search",
+             t0 + pd.Timedelta(seconds=10)),
+        ]
+
+    files = [
+        pair("a", 0, base, "call a0", "shared result one two")
+        + pair("a", 2, base + pd.Timedelta(seconds=30), "call a1", "unique a response here")
+        + pair("b", 0, base + pd.Timedelta(minutes=1), "call b0", "unique b response here"),
+        # conv c: H1 duplicate + a LOW-QUALITY first copy ("tiny")
+        pair("c", 0, base + pd.Timedelta(hours=1), "call c0", "shared result one two")
+        + pair("c", 2, base + pd.Timedelta(hours=1, seconds=30), "call c1", "tiny")
+        + pair("c", 4, base + pd.Timedelta(hours=1, minutes=1), "call c2", "unique c response here"),
+        # conv d: duplicate of the low-quality hash + a fresh response
+        pair("d", 0, base + pd.Timedelta(hours=2), "call d0", "tiny")
+        + pair("d", 2, base + pd.Timedelta(hours=2, seconds=30), "call d1", "unique d response here"),
+        [("conv-flush", 0, "user", "flush", "flush", base + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("export_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _export_batch_reference(spark, source_dir, cfg, min_words=3):
+    """The batch training_export pipeline over curate_sessions — global
+    keep-first response dedup, quality gate, redaction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.functions.text import (
+        quality_features,
+        redact_pii,
+    )
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    pairs = curate_sessions(t, cfg)
+    w = Window.partitionBy("text_hash").orderBy("conv_id", "example_idx")
+    firsts = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = firsts.where(
+        quality_features(F.col("response_text"))["n_words"] >= min_words
+    ).select(
+        "conv_id", "window_start", "example_idx", "tool", "call_text",
+        redact_pii(F.col("response_text")).alias("response_red"), "text_hash",
+    )
+    return out.toPandas()
+
+
+def test_training_export_stream_equals_batch(spark, export_batches, tmp_path):
+    """The composite training-export pipeline as a STREAM (curate →
+    cross-conversation seen-hash dedup → quality gate → redaction) equals
+    the batch pipeline: the epoch-N duplicate of an epoch-M<N response is
+    dropped by the hash ledger, and a low-quality first copy suppresses
+    later duplicates exactly as batch keep-first does."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_training_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_training_export_stream_job(
+        spark, export_batches, cfg, available_now=False
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _export_batch_reference(spark, export_batches, cfg)
+    want = want[want["conv_id"] != "conv-flush"]
+    # the H1 duplicate (conv c) and the low-quality-hash duplicate
+    # (conv d) are gone; the low-quality first copy is quality-gated
+    assert set(got["conv_id"]) == {"a", "b", "c", "d"}
+    assert len(got[got["conv_id"] == "c"]) == 1  # only "unique c"
+    assert len(got[got["conv_id"] == "d"]) == 1  # only "unique d"
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_training_export_stream_kill_and_resume(spark, export_batches, tmp_path):
+    """W7 on the export stream: the seen-hash ledger's per-epoch frozen
+    snapshots replay to the same dedup decisions — kill mid-stream,
+    resume, final output equals the uninterrupted batch reference."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_training_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_training_export_stream_job(
+        spark, export_batches, cfg, available_now=False
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_training_export_stream_job(
+        spark, export_batches, cfg, available_now=False
+    )
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _export_batch_reference(spark, export_batches, cfg)
+    want = want[want["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
 def test_cap_ledger_evicts_expired_conversations(spark, tmp_path_factory, tmp_path):
     """r2 VERDICT top item: the session-window runner's cap ledger must be
     O(conversations active within cap_state_retention), not O(all
