@@ -634,6 +634,175 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic train/val/test split — the training-data pipeline's
+# dataset-assignment op. Hash-based so the split is stable under
+# repartition/replay and needs no shuffle at all (pure projection).
+# Cross-engine key: md5 (identical in Spark and DuckDB; xxhash64 is
+# Spark-only), first hex byte → 256 buckets → ~80/10/10.
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("dataset_split", _SPLIT_SQL)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/val/test ≈ 80/10/10): pure
+    column projection — no shuffle, no state, stable under replay and
+    reordering; at 100 TB this is a free map stage riding the scan. The
+    scale path uses xxhash64 (8-byte JVM hash); md5 here because the
+    oracle must reproduce the exact assignment cross-engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+# Sequence packing — concat-and-chunk, the standard LLM pretraining
+# layout: documents are concatenated in a stable order and cut into
+# fixed-budget token sequences; each doc gets its starting sequence,
+# offset, and span. A running-sum window over the stable order IS the
+# packing — no sequential loop.
+_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(FLOOR(start_tok / 512.0) AS INT) AS start_seq,
+       CAST(start_tok % 512 AS INT) AS seq_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE FLOOR((start_tok + n_tokens - 1) / 512.0)
+                 - FLOOR(start_tok / 512.0) + 1 END AS INT) AS n_seqs
+FROM pos
+"""
+
+
+@register("sequence_pack", _PACK_SQL)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (budget 512, BPE-ish token count as
+    in ``token_counts``): running-sum window over the stable doc order
+    gives each document its start sequence / offset / sequence span in
+    the concatenated token stream. The catalog query is the exact-global
+    variant (one ordered window — a single-partition sort barrier, fine
+    at oracle scale); the 100 TB path packs per shard: partition by
+    ``floor(doc_id / shard_size)``, run the same window per shard, and
+    offset each shard's sequences by its exclusive prefix of total
+    sequence counts — two window passes, no global sort."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    pos = toks.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    budget = 512
+    start_seq = F.floor(F.col("start_tok") / budget)
+    return pos.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        start_seq.cast("int").alias("start_seq"),
+        (F.col("start_tok") % budget).cast("int").alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
+            - start_seq
+            + 1
+        )
+        .cast("int")
+        .alias("n_seqs"),
+    )
+
+
+# TF-IDF top terms per document — the classic content-signature op a
+# curation pipeline uses for topic filtering / near-dup triage. Scores
+# rounded to 6 decimals BEFORE ranking on both engines so rank ties
+# break identically (term ASC).
+_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Scale posture: the term-DF table
+    is the vocabulary (small side) → broadcast join; the tf aggregate
+    shuffles once on (doc_id, term); corpus size N is a literal (one
+    count job) so the score expression stays whole-stage-codegen."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        words.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
 # Partial oracle for the clustering family (r2 VERDICT item): the k=1
 # KMeans centroid IS the per-group mean — exactly SQL-expressible — so the
 # kernel's accumulation math is value-checked even though the k>1

@@ -201,6 +201,40 @@ def test_decode_kernel_injection_contract(spark):
             assert bytes(r["frame"]) == payload[lo:lo + 8][::-1]
 
 
+def test_dataset_split_and_sequence_pack_invariants(spark):
+    """Training-pipeline ops beyond the oracle match: the hash split is
+    deterministic with sane fractions, and the packing layout is a
+    gap-free tiling of the concatenated token stream."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    qs = spark_queries()
+    sf = "/root/testdata/sf0.01"
+
+    split = qs["dataset_split"](spark, sf).toPandas()
+    frac = split["split"].value_counts(normalize=True)
+    assert 0.72 <= frac["train"] <= 0.88
+    assert 0.04 <= frac["val"] <= 0.16
+    assert 0.04 <= frac["test"] <= 0.16
+    split2 = qs["dataset_split"](spark, sf).toPandas()
+    pd.testing.assert_frame_equal(
+        split.sort_values("doc_id").reset_index(drop=True),
+        split2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+    pack = qs["sequence_pack"](spark, sf).toPandas().sort_values("doc_id")
+    # contiguous tiling: each doc starts exactly where the previous ended
+    starts = pack["start_tok"].to_numpy()
+    toks = pack["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert (pack["seq_offset"] < 512).all() and (pack["seq_offset"] >= 0).all()
+    nonempty = pack[pack["n_tokens"] > 0]
+    assert (nonempty["n_seqs"] >= 1).all()
+    # span arithmetic: last token's sequence minus first, inclusive
+    end_seq = (nonempty["start_tok"] + nonempty["n_tokens"] - 1) // 512
+    assert (nonempty["n_seqs"] == end_seq - nonempty["start_seq"] + 1).all()
+
+
 def test_token_count_and_quality(spark):
     from data_harvesting_spark.functions.text import quality_features, token_count
 
