@@ -543,15 +543,15 @@ def _cap_with_ledger(
         )
         * 1000
     )
-    # consumed by curation AND the activity/eviction aggregates below —
-    # without persist each action would re-execute the micro-batch plan
+    # consumed by curation AND the activity aggregate below — without
+    # persist each action would re-execute the micro-batch plan
     turns = turns.persist()
-    hi = turns.agg(
-        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("hi")
-    ).collect()[0][0]
+    # one row per conversation in the batch; tiny. The batch horizon `hi`
+    # is its max — read from this small frame, not a second full scan.
     acts = turns.groupBy("conv_id").agg(
         (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("_act_ms")
-    )
+    ).persist()
+    hi = acts.agg(F.max("_act_ms").alias("hi")).collect()[0][0]
     pairs = curate_keyed_pairs(turns, cfg, keys)
     prior = _read_cap_ledger(spark, ledger_path, epoch_id)
     if prior is not None and "suppress_until" not in prior.columns:
@@ -646,6 +646,7 @@ def _cap_with_ledger(
     snapshot.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(ledger_path, f"_epoch={epoch_id}")
     )
+    acts.unpersist()
     turns.unpersist()
     _prune_cap_ledger(ledger_path, epoch_id)
     return curated

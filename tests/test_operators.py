@@ -363,6 +363,20 @@ def test_small_dim_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tfidf_plan_broadcasts_vocabulary(spark):
+    """Scale posture of tfidf_top_terms: the term-DF (vocabulary) side
+    must plan as a broadcast join — the (doc, term) fact side never
+    re-shuffles onto the vocabulary key."""
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["tfidf_top_terms"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_predicate_registry_guards(spark, transcripts_df):
     """Empty / unknown predicate lists fail fast with a clear error;
     duplicate names collapse instead of alias-colliding."""
