@@ -664,6 +664,32 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stratified (per-class) deterministic sampling — corpus rebalancing, the
+# downsample-the-majority-language op. Same zero-shuffle hash-threshold
+# design as dataset_split, on a DIFFERENT md5 byte (chars 3-4) so the two
+# assignments are independent: a doc's split and its sampling fate don't
+# correlate.
+_STRAT_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)
+      < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+"""
+
+
+@register("stratified_sample", _STRAT_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~25% of the majority
+    language (en) and ~75% of the rest — rate-by-class downsampling as a
+    pure hash-threshold projection (no shuffle, no state, replay-stable,
+    composable with dataset_split because each uses an independent md5
+    byte). At 100 TB this rides the scan like any pushed filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    return docs.where(b < thr).select("doc_id", "lang")
+
+
 # Sequence packing — concat-and-chunk, the standard LLM pretraining
 # layout: documents are concatenated in a stable order and cut into
 # fixed-budget token sequences; each doc gets its starting sequence,
