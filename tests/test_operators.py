@@ -363,6 +363,48 @@ def test_small_dim_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, transcripts_df, tmp_path):
+    """M5 scale posture: transcripts ⟗ curated on conv_id with BOTH sides
+    bucketed on the key reads bucket-to-bucket — the executed plan has NO
+    Exchange, while the same join on unbucketed frames shuffles both
+    sides. Results are identical either way."""
+    from data_harvesting_spark.config import HarvestConfig
+    from data_harvesting_spark.operators.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from data_harvesting_spark.operators.curate import curate
+
+    curated = curate(transcripts_df, HarvestConfig(), pre_clustered=False)
+    curated = curated.withColumnRenamed("tool", "pair_tool")
+    write_bucketed(
+        transcripts_df, "t_turns_b", str(tmp_path / "turns"), n_buckets=8
+    )
+    write_bucketed(
+        curated, "t_curated_b", str(tmp_path / "curated"), n_buckets=8
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_turns_b", "t_curated_b")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        plain = transcripts_df.join(curated, "conv_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan, plain_plan
+
+        keys = ["conv_id", "turn_idx", "example_idx"]
+        a = joined.toPandas().sort_values(keys).reset_index(drop=True)
+        b = plain.select(*joined.columns).toPandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+        assert len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS t_turns_b")
+        spark.sql("DROP TABLE IF EXISTS t_curated_b")
+
+
 def test_tfidf_plan_broadcasts_vocabulary(spark):
     """Scale posture of tfidf_top_terms: the term-DF (vocabulary) side
     must plan as a broadcast join — the (doc, term) fact side never
