@@ -288,7 +288,20 @@ def run_streaming(
 ) -> dict:
     """End-to-end STREAMING curated-turns/sec (BASELINE.json metric shape):
     generated transcript slices → checkpointed stateful correlator →
-    idempotent epoch sink, run to completion with availableNow."""
+    idempotent epoch sink, run to completion with availableNow.
+
+    Known tail artifact of finite-input availableNow benching (measured,
+    ~0.05% of rows at 4M): sessions ending within ``gap + watermark_delay``
+    of the stream's max event time cannot close (the watermark never
+    passes them), and the kernel runner's event-time TIMERS only fire in a
+    no-data batch, which availableNow never runs — so the kernel leg
+    under-emits a few borderline tail sessions the JVM aggregation still
+    flushes. Diagnosed by full outer join of both runners' outputs at 1M:
+    zero kernel-only rows, the session_window extras all in the final
+    event-time band. Production streams run forever (timers fire
+    naturally); finite replays wanting complete output use ``drain()``
+    (tests do) or a flush event — throughput, the metric here, is
+    unaffected either way."""
     import tempfile
 
     from data_harvesting_spark.config import HarvestConfig
