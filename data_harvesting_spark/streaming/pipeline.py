@@ -93,9 +93,12 @@ def start_rates_job(
     checkpoint_dir: str,
     window: str = "1 hour",
     available_now: bool = True,
+    grain: str = "tool",
 ):
-    """Per-tool tumbling harvest-rate stream (W4) with watermark-closed
-    append windows; HLL distinct (scale path).
+    """Per-tool (or per-role) tumbling harvest-rate stream (W4) with
+    watermark-closed append windows; HLL distinct (scale path).
+    ``grain``: "tool" (non-null tools only, the reference's per-class
+    harvest counts) or "role" (every turn attributes to its role).
 
     Watermark-vs-pushdown gotcha (pinned by
     tests/test_streaming.py::test_rates_stream_equals_batch): the
@@ -105,11 +108,14 @@ def start_rates_job(
     advance no watermark. Operationally: watermark-driving heartbeat rows
     must carry values that survive the job's pushed filters.
     """
+    if grain not in ("tool", "role"):
+        raise ValueError(f"grain must be 'tool' or 'role', got {grain!r}")
     stream = read_transcript_stream(spark, source_dir)
+    keyed = stream.withWatermark("ts", cfg.watermark_delay)
+    if grain == "tool":
+        keyed = keyed.where(F.col("tool").isNotNull())
     rates = (
-        stream.withWatermark("ts", cfg.watermark_delay)
-        .where(F.col("tool").isNotNull())
-        .groupBy(F.window("ts", window).alias("w"), F.col("tool").alias("key"))
+        keyed.groupBy(F.window("ts", window).alias("w"), F.col(grain).alias("key"))
         .agg(
             F.count("*").alias("turn_count"),
             F.approx_count_distinct("conv_id").alias("conv_distinct"),
@@ -117,7 +123,7 @@ def start_rates_job(
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            F.lit("tool").alias("grain"),
+            F.lit(grain).alias("grain"),
             "key",
             "turn_count",
             "conv_distinct",

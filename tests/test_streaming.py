@@ -248,6 +248,36 @@ def test_rates_stream_equals_batch(spark, fixture_batches, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
 
+    # role grain: same job keyed on role (no tool filter — every turn
+    # attributes); the flush heartbeat's never-closing window excluded on
+    # both sides via its conversation
+    q2 = start_rates_job(
+        spark, fixture_batches, cfg, str(tmp_path / "rates_role"),
+        str(tmp_path / "rates_role_ckpt"), window="1 hour",
+        available_now=False, grain="role",
+    )
+    drain(q2)
+    got_r = read_epoch_sink(spark, str(tmp_path / "rates_role")).toPandas()
+    want_r = (
+        t.where(F.col("conv_id") != "conv-flush")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("role").alias("key"))
+        .agg(
+            F.count("*").alias("turn_count"),
+            F.approx_count_distinct("conv_id").alias("conv_distinct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.lit("role").alias("grain"),
+            "key", "turn_count", "conv_distinct",
+        )
+        .toPandas()
+    )
+    got_r = got_r[cols].sort_values(key).reset_index(drop=True)
+    want_r = want_r[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_r, want_r)
+    assert set(got_r["key"]) >= {"user", "assistant", "tool"}
+
 
 def test_latency_quantiles_stream_equals_batch(spark, fixture_batches, tmp_path):
     """A8 in the streaming surface: the stateful stream-stream adjacent-
