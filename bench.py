@@ -200,14 +200,19 @@ def generate_scale_input(n_turns: int, out_dir: str = SCALE_DATA) -> str:
     return out_dir
 
 
-def _curate_timed(cores: int, data_dir: str, shuffle_partitions: int = 32) -> float:
+def _curate_timed(cores: int, data_dir: str, shuffle_partitions: int = 128) -> float:
     """One timed curate run at local[cores]; session startup excluded.
 
-    Shuffle partitions are FIXED across parallelism levels (default 32):
-    the cluster criterion varies executor count under one plan, and an
-    asymmetric partition count per leg (the old cores×2) gave the high leg
-    2 task waves prone to straggler imbalance — measured 0.74 → 0.84 raw
-    2→8 efficiency from equalizing alone (BENCH.md round-2 experiment).
+    Shuffle partitions are FIXED across parallelism levels: the cluster
+    criterion varies executor count under one plan, and an asymmetric
+    partition count per leg (the old cores×2) gave the high leg 2 task
+    waves prone to straggler imbalance — measured 0.74 → 0.84 raw 2→8
+    efficiency from equalizing alone (BENCH.md round-2 experiment).
+    Round 3 raised the fixed count 32 → 128 with AQE coalescing active:
+    finer tasks pack waves better on BOTH legs (measured +5–7% absolute
+    throughput each, head-to-head interleaved) while efficiency is
+    unchanged (0.758 vs 0.760 in the same windows) — the same
+    partitions ≫ cores posture a real cluster runs with.
     """
     from data_harvesting_spark.config import HarvestConfig
     from data_harvesting_spark.operators.curate import curate
