@@ -321,18 +321,8 @@ def run_streaming(
                       shuffle_partitions=cores,
                       extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
     spark.sparkContext.setLogLevel("ERROR")
-    # slices must be (roughly) event-time ordered or the advancing
-    # watermark would drop later slices' rows as late — range-partition by
-    # ts and force listing order via modtimes
     src = tempfile.mkdtemp(prefix="dhs_stream_src_")
-    spark.read.parquet(data_dir).repartitionByRange(n_slices, "ts").write.mode(
-        "overwrite"
-    ).parquet(src)
-    import glob as _glob
-
-    now = time.time()
-    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
-        os.utime(p, (now + i, now + i))
+    _slice_for_replay(spark, data_dir, src, n_slices)
 
     from data_harvesting_spark.streaming.pipeline import (
         start_curate_job,
@@ -408,24 +398,32 @@ def run_ceiling(lo_cores: int = 2, rounds: int = 3) -> dict:
     }
 
 
-def prepare_stream_source(n_turns: int, out_dir: str, n_slices: int = 8) -> str:
-    """Generate n_turns transcripts and lay them out as n_slices
-    event-time-ordered parquet files with increasing mtimes — the replay
-    layout every streaming job/bench consumes (micro-batch per file)."""
+def _slice_for_replay(spark, data_dir: str, out_dir: str, n_slices: int) -> None:
+    """Lay a transcript table out as n_slices event-time-ordered parquet
+    files with increasing mtimes — the replay layout every streaming
+    job/bench consumes (micro-batch per file). Slices must be (roughly)
+    event-time ordered or the advancing watermark would drop later
+    slices' rows as late; file order is forced via modtimes."""
     import glob as _glob
 
-    from data_harvesting_spark.session import get_spark
-
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
-    data_dir = generate_scale_input(n_turns)
-    spark = get_spark("bench-src", master="local[32]")
-    spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(data_dir).repartitionByRange(n_slices, "ts").write.mode(
         "overwrite"
     ).parquet(out_dir)
     now = time.time()
     for i, p in enumerate(sorted(_glob.glob(os.path.join(out_dir, "part-*")))):
         os.utime(p, (now + i, now + i))
+
+
+def prepare_stream_source(n_turns: int, out_dir: str, n_slices: int = 8) -> str:
+    """Generate n_turns transcripts and slice them for replay
+    (``_slice_for_replay``) in a dedicated session."""
+    from data_harvesting_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    data_dir = generate_scale_input(n_turns)
+    spark = get_spark("bench-src", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    _slice_for_replay(spark, data_dir, out_dir, n_slices)
     spark.stop()
     return out_dir
 

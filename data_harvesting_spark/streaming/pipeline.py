@@ -273,58 +273,62 @@ def start_training_export_stream_job(
                 batch.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
-            )
-            prior = _read_hash_ledger(sp, ledger_path, epoch_id)
-            if prior is not None:
-                fresh = firsts.join(
-                    prior.select("text_hash"), "text_hash", "left_anti"
+            ).persist()
+            try:
+                prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+                if prior is not None:
+                    fresh = firsts.join(
+                        prior.select("text_hash"), "text_hash", "left_anti"
+                    )
+                else:
+                    fresh = firsts
+                exported = (
+                    fresh.where(
+                        quality_features(F.col("response_text"))["n_words"]
+                        >= min_words
+                    )
+                    .select(
+                        "conv_id",
+                        "window_start",
+                        "example_idx",
+                        "tool",
+                        "call_text",
+                        redact_pii(F.col("response_text")).alias("response_red"),
+                        "text_hash",
+                    )
                 )
-            else:
-                fresh = firsts
-            fresh = fresh.persist()
-            exported = (
-                fresh.where(
-                    quality_features(F.col("response_text"))["n_words"]
-                    >= min_words
+                write_epoch(exported, epoch_id, cfg.sink_path)
+                # snapshot N = prior ∪ this batch's hashes (pre-quality,
+                # as in batch), retention-evicted on last-SEEN time: the
+                # refresh comes from ALL of this batch's per-hash firsts —
+                # a recurring duplicate keeps its hash alive even though
+                # the anti-join suppresses its emission
+                upd = firsts.groupBy("text_hash").agg(
+                    (F.unix_micros(F.max("window_start")) / 1000)
+                    .cast("long")
+                    .alias("_new_ms")
                 )
-                .select(
-                    "conv_id",
-                    "window_start",
-                    "example_idx",
-                    "tool",
-                    "call_text",
-                    redact_pii(F.col("response_text")).alias("response_red"),
-                    "text_hash",
+                if prior is not None:
+                    snapshot = prior.join(upd, "text_hash", "full_outer").select(
+                        "text_hash",
+                        F.greatest(F.col("last_ms"), F.col("_new_ms"))
+                        .cast("long").alias("last_ms"),
+                    )
+                else:
+                    snapshot = upd.select(
+                        "text_hash",
+                        F.col("_new_ms").cast("long").alias("last_ms"),
+                    )
+                if hi is not None:
+                    snapshot = snapshot.where(
+                        F.col("last_ms").isNull()
+                        | (F.col("last_ms") + retention_ms >= F.lit(hi))
+                    )
+                snapshot.coalesce(4).write.mode("overwrite").parquet(
+                    os.path.join(ledger_path, f"_epoch={epoch_id}")
                 )
-            )
-            write_epoch(exported, epoch_id, cfg.sink_path)
-            # snapshot N = prior ∪ this batch's first-seen hashes (pre-
-            # quality, as in batch), retention-evicted on last-seen time
-            upd = fresh.groupBy("text_hash").agg(
-                (F.unix_micros(F.max("window_start")) / 1000)
-                .cast("long")
-                .alias("_new_ms")
-            )
-            if prior is not None:
-                snapshot = prior.join(upd, "text_hash", "full_outer").select(
-                    "text_hash",
-                    F.greatest(
-                        F.coalesce(F.col("last_ms"), F.lit(-1)),
-                        F.coalesce(F.col("_new_ms"), F.lit(-1)),
-                    ).cast("long").alias("last_ms"),
-                )
-            else:
-                snapshot = upd.select(
-                    "text_hash", F.col("_new_ms").cast("long").alias("last_ms")
-                )
-            if hi is not None:
-                snapshot = snapshot.where(
-                    F.col("last_ms") + retention_ms >= F.lit(hi)
-                )
-            snapshot.coalesce(4).write.mode("overwrite").parquet(
-                os.path.join(ledger_path, f"_epoch={epoch_id}")
-            )
-            fresh.unpersist()
+            finally:
+                firsts.unpersist()
             _prune_cap_ledger(ledger_path, epoch_id)
         finally:
             batch.unpersist()
@@ -563,8 +567,16 @@ def _cap_with_ledger(
     if prior is not None and "suppress_until" not in prior.columns:
         prior = prior.withColumn("suppress_until", F.lit(-1).cast("long"))
     if prior is not None and "last_ms" not in prior.columns:
-        # pre-eviction snapshot format: treat every row as just-active
-        prior = prior.withColumn("last_ms", F.lit(hi).cast("long"))
+        # pre-eviction snapshot format: stamp rows as just-active at the
+        # batch horizon; on an empty batch (hi unknown) stamp NULL, which
+        # the eviction filter below treats as "never evict until a real
+        # timestamp is observed" — NOT -1, which would evict the whole
+        # legacy ledger on the next data epoch and reset every cap
+        prior = prior.withColumn(
+            "last_ms",
+            F.lit(hi).cast("long") if hi is not None
+            else F.lit(None).cast("long"),
+        )
     if prior is not None:
         pairs = pairs.join(
             prior.select(
@@ -630,10 +642,10 @@ def _cap_with_ledger(
             F.coalesce(new_sup, F.col("suppress_until"), F.lit(-1))
             .cast("long")
             .alias("suppress_until"),
-            F.greatest(
-                F.coalesce(F.col("last_ms"), F.lit(-1)),
-                F.coalesce(F.col("_act_ms"), F.lit(-1)),
-            ).cast("long").alias("last_ms"),
+            # greatest() skips NULLs: null only when BOTH sides are null
+            # (legacy row stamped on an empty batch, no activity yet)
+            F.greatest(F.col("last_ms"), F.col("_act_ms"))
+            .cast("long").alias("last_ms"),
         )
     else:
         snapshot = batch_info.select(
@@ -644,8 +656,13 @@ def _cap_with_ledger(
         )
     if hi is not None:
         # retention eviction (kernel-runner tombstone analog): forget
-        # conversations whose budget window has fully expired
-        snapshot = snapshot.where(F.col("last_ms") + horizon_ms >= F.lit(hi))
+        # conversations whose budget window has fully expired; a NULL
+        # last_ms (legacy row with no observed timestamp yet) is retained,
+        # never evicted on a guess
+        snapshot = snapshot.where(
+            F.col("last_ms").isNull()
+            | (F.col("last_ms") + horizon_ms >= F.lit(hi))
+        )
     # few output files: the snapshot is one small row per conversation;
     # 32 shuffle-partition files per epoch would be pure listing overhead
     # (coalesce is a narrow dep — the agg above still runs parallel)

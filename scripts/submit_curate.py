@@ -70,7 +70,10 @@ def main() -> None:
             else start_curate_job
         )
         q = starter(spark, args.source, cfg, available_now=False)
-        drain(q)
+        # deployment runs are throughput-sized (multi-minute legs at low
+        # core counts) — drain's default 180 s deadline would silently
+        # truncate them; idle detection still ends the run promptly
+        drain(q, timeout=3600.0)
         n = read_epoch_sink(spark, cfg.sink_path).count()
         mode = f"stream/{args.runner}"
     else:
