@@ -941,3 +941,87 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_ivf_anchors(emb, queries, k=5, nprobe=4)
+
+
+# ---------------------------------------------------------- repetition filter
+_WORDS_SQL = """
+words AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w,
+         generate_subscripts(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+  FROM documents
+)
+"""
+
+_REPETITION_SQL = f"""
+WITH {_WORDS_SQL},
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+wstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS d_words, max(c) AS top_cnt
+  FROM wc GROUP BY 1),
+bigrams AS (
+  SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words),
+bstats AS (
+  SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY 1)
+SELECT s.doc_id, s.n_words,
+       round(1.0 - s.d_words*1.0/s.n_words, 6) AS dup_word_frac,
+       round(s.top_cnt*1.0/s.n_words, 6) AS top_word_frac,
+       COALESCE(round(1.0 - b.db*1.0/b.nb, 6), 0.0) AS dup_2gram_frac,
+       (round(1.0 - s.d_words*1.0/s.n_words, 6) > 0.55
+        OR round(s.top_cnt*1.0/s.n_words, 6) > 0.12
+        OR COALESCE(round(1.0 - b.db*1.0/b.nb, 6), 0.0) > 0.05) AS repetitive
+FROM wstats s LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+@register("doc_repetition", _REPETITION_SQL)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word fraction, top-word
+    fraction, duplicate-bigram fraction) — the standard LLM corpus
+    repetition filter, extending the reference's condition-gate role
+    (`/root/reference/condition.py:8-95`) to document quality."""
+    from data_harvesting_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+# ------------------------------------------------------- decontamination scan
+_CONTAMINATION_SQL = f"""
+WITH {_WORDS_SQL},
+grams AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words),
+shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE w2 IS NOT NULL),
+eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+cstats AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(e.shingle) AS BIGINT) AS n_overlap
+  FROM shingles s LEFT JOIN eval_sh e USING (shingle)
+  WHERE s.doc_id % 97 <> 0 GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(c.n_shingles, 0) AS n_shingles,
+       COALESCE(c.n_overlap, 0) AS n_overlap,
+       COALESCE(round(c.n_overlap*1.0/c.n_shingles, 6), 0.0) AS overlap_frac,
+       COALESCE(round(c.n_overlap*1.0/c.n_shingles, 6) >= 0.02, FALSE) AS contaminated
+FROM documents d LEFT JOIN cstats c USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("doc_decontaminate", _CONTAMINATION_SQL)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every corpus doc
+    against the deterministic eval split (doc_id % 97 == 0), eval shingle
+    set broadcast. Flags docs whose overlap fraction ≥ 0.02."""
+    from data_harvesting_spark.operators.quality import contamination_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_stats(docs)

@@ -524,3 +524,55 @@ def test_validate_config_rejects_bad_durations():
         validate_config(HarvestConfig(session_gap="half an hour"))
     with pytest.raises(ConfigError, match="unparseable duration"):
         validate_config(HarvestConfig(cap_state_retention="7d"))
+
+
+def test_repetition_stats_semantics(spark):
+    """A fully repetitive doc flags; a diverse doc doesn't; a one-word doc
+    gets dup_2gram_frac 0.0 and survives the bigram branch."""
+    from data_harvesting_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+
+    assert got[1]["repetitive"] and got[1]["dup_word_frac"] > 0.8
+    assert got[1]["dup_2gram_frac"] > 0.7 and got[1]["top_word_frac"] == 1.0
+    assert not got[2]["repetitive"] and got[2]["dup_word_frac"] == 0.0
+    assert got[3]["n_words"] == 1 and got[3]["dup_2gram_frac"] == 0.0
+    # one word = 100% "top word"; the top-word signal fires by design
+    assert got[3]["top_word_frac"] == 1.0
+
+
+def test_contamination_stats_semantics_and_broadcast(spark):
+    """A corpus doc that copies an eval doc's text flags as contaminated; a
+    disjoint doc doesn't; eval docs themselves are excluded. The eval
+    shingle set must enter the plan as a broadcast join."""
+    from data_harvesting_spark.operators.quality import contamination_stats
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),            # eval split (doc_id % 97 == 0)
+            (1, eval_text),            # verbatim copy -> contaminated
+            (2, "uno dos tres cuatro cinco seis"),  # disjoint
+            (3, "xy"),                 # < 3 words -> zero shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_stats(docs)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    assert sorted(got) == [1, 2, 3]  # eval doc 0 excluded
+    assert got[1]["contaminated"] and got[1]["overlap_frac"] == 1.0
+    assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
+    assert got[3]["n_shingles"] == 0 and got[3]["overlap_frac"] == 0.0
+    assert not got[3]["contaminated"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
