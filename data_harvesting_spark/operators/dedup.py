@@ -139,17 +139,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    hash_mode: str = "xxhash64",
+def minhash_bands(
+    documents: DataFrame, n: int = 3, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs: band signatures → bucket equi-join →
-    exact-Jaccard verification of bucketed candidates only."""
+    """(doc_id, band, band_sig) — the LSH banding of the MinHash signature
+    (BANDS bands × N_HASHES/BANDS rows). Shared by the pair finder and the
+    bucket-representative dedup."""
     sig = minhash_signatures(documents, n, hash_mode)
     r = N_HASHES // BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -159,6 +157,50 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "band_sig"),
     )
+
+
+def lsh_bucket_dedup(
+    df: DataFrame, order_cols: list[str], text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Bucket-representative near-dedup: keep a row iff it is the
+    first-ordered member of EVERY MinHash band bucket it falls into.
+
+    ``order_cols`` must be a unique, arrival-consistent total order (e.g.
+    ``["ts", "conv_id", "turn_idx"]``); the struct over them doubles as
+    the row key, so bucket "first" is just ``min(struct)``. Rows whose
+    text yields no shingles (< n words) have no buckets and are kept.
+
+    This is the standard streaming-friendly LSH-dedup approximation: no
+    candidate verification, each band bucket keeps one representative —
+    near-duplicates (high Jaccard ⇒ some band collides w.h.p.) drop;
+    the false-positive rate is the band-collision rate. The pair-finding
+    path with exact verification stays ``minhash_lsh_pairs``.
+
+    Scale: one shuffle keyed (band, band_sig) for the window min plus the
+    key anti-join — work ∝ rows × BANDS, never O(n²).
+    """
+    keyed = df.withColumn("_k", F.struct(*order_cols))
+    docs = keyed.select(F.col("_k").alias("doc_id"), F.col(text_col).alias("text"))
+    bands = minhash_bands(docs, n)
+    w = Window.partitionBy("band", "band_sig")
+    losers = (
+        bands.withColumn("_min", F.min("doc_id").over(w))
+        .where(F.col("doc_id") > F.col("_min"))
+        .select(F.col("doc_id").alias("_k"))
+        .distinct()
+    )
+    return keyed.join(losers, "_k", "left_anti").drop("_k")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures → bucket equi-join →
+    exact-Jaccard verification of bucketed candidates only."""
+    bands = minhash_bands(documents, n, hash_mode)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -197,6 +197,129 @@ def _read_hash_ledger(spark: SparkSession, ledger_path: str, epoch_id: int):
     return _read_cap_ledger(spark, ledger_path, epoch_id)
 
 
+def start_neardup_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n: int = 3,
+):
+    """Streaming-native NEAR-dup suppression (the MinHash analog of
+    ``start_dedup_stream_job``): cross-micro-batch LSH
+    bucket-representative dedup of turn texts with a retention-bounded
+    band-bucket ledger.
+
+    Semantics = ``operators/dedup.py::lsh_bucket_dedup`` ordered by
+    ``(ts, conv_id, turn_idx)``: a turn survives iff every one of its
+    MinHash band buckets is unseen — both within the batch (window min
+    over the bucket) and across batches (anti-join against the ledger of
+    buckets seen in prior epochs). ALL observed buckets enter the ledger,
+    kept or dropped — "content like this was seen" — which is exactly the
+    batch rule (a dropped row still claims its buckets, because bucket
+    min is taken over every row, not over survivors).
+
+    Exactly-once composition is the frozen-pre-state ledger pattern
+    (``_read_cap_ledger``): epoch N reads snapshot N-1, writes snapshot N;
+    a replayed epoch recomputes identical output for the idempotent epoch
+    sink. Ledger rows carry a last-seen event time and are evicted once
+    the batch max event time passes ``cfg.cap_state_retention`` beyond it
+    — state is O(buckets inside the retention), the same bounded-state
+    trade as the exact-dedup ledger; a near-duplicate surfacing beyond
+    the retention re-emits by design.
+
+    Parity contract vs batch ``lsh_bucket_dedup`` (pinned by
+    tests/test_streaming.py::test_neardup_stream_equals_batch): exact
+    whenever arrival order across micro-batches is consistent with the
+    ``(ts, conv_id, turn_idx)`` order, so each bucket's global first
+    arrival lands in the earliest batch containing the bucket.
+    """
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
+    from data_harvesting_spark.operators.dedup import minhash_bands
+
+    ledger_path = sink_path.rstrip("/") + ".lshbuckets"
+    retention_ms = int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
+    stream = read_transcript_stream(spark, source_dir)
+    out_cols = stream.columns
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        keyed = df.withColumn(
+            "_k", F.struct("ts", "conv_id", "turn_idx")
+        ).persist()
+        try:
+            hi = keyed.agg(
+                F.unix_millis(F.max("ts")).alias("hi")
+            ).collect()[0][0]
+            bands = minhash_bands(
+                keyed.select(F.col("_k").alias("doc_id"), "text"), n
+            ).persist()
+            try:
+                w = Window.partitionBy("band", "band_sig")
+                in_batch = (
+                    bands.withColumn("_min", F.min("doc_id").over(w))
+                    .where(F.col("doc_id") > F.col("_min"))
+                    .select(F.col("doc_id").alias("_k"))
+                )
+                prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+                if prior is not None:
+                    seen = bands.join(
+                        prior, ["band", "band_sig"], "left_semi"
+                    ).select(F.col("doc_id").alias("_k"))
+                    losers = in_batch.unionByName(seen).distinct()
+                else:
+                    losers = in_batch.distinct()
+                kept = keyed.join(losers, "_k", "left_anti").select(*out_cols)
+                write_epoch(kept, epoch_id, sink_path)
+
+                upd = bands.groupBy("band", "band_sig").agg(
+                    F.unix_millis(F.max("doc_id.ts")).alias("_new_ms")
+                )
+                if prior is not None:
+                    snapshot = prior.join(
+                        upd, ["band", "band_sig"], "full_outer"
+                    ).select(
+                        "band",
+                        "band_sig",
+                        F.greatest(F.col("last_ms"), F.col("_new_ms"))
+                        .cast("long").alias("last_ms"),
+                    )
+                else:
+                    snapshot = upd.select(
+                        "band", "band_sig",
+                        F.col("_new_ms").cast("long").alias("last_ms"),
+                    )
+                if hi is not None:
+                    snapshot = snapshot.where(
+                        F.col("last_ms").isNull()
+                        | (F.col("last_ms") + retention_ms >= F.lit(hi))
+                    )
+                snapshot.coalesce(4).write.mode("overwrite").parquet(
+                    os.path.join(ledger_path, f"_epoch={epoch_id}")
+                )
+            finally:
+                bands.unpersist()
+            _prune_cap_ledger(ledger_path, epoch_id)
+        finally:
+            keyed.unpersist()
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_training_export_stream_job(
     spark: SparkSession,
     source_dir: str,

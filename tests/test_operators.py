@@ -576,3 +576,20 @@ def test_contamination_stats_semantics_and_broadcast(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_lsh_bucket_dedup_semantics(spark):
+    """Bucket-representative near-dedup: near-duplicate texts (sharing a
+    MinHash band with an earlier row) drop; distinct texts survive; texts
+    too short to shingle have no buckets and are kept."""
+    from data_harvesting_spark.operators.dedup import lsh_bucket_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "completely different words about spark streaming engines and window state"),
+        (4, "hi"),
+    ]
+    df = spark.createDataFrame(rows, "ord long, text string")
+    kept = sorted(r["ord"] for r in lsh_bucket_dedup(df, ["ord"]).collect())
+    assert kept == [1, 3, 4]

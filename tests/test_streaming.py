@@ -1469,3 +1469,120 @@ def test_iceberg_merge_end_to_end(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ICEBERG-E2E-OK" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# Streaming-native NEAR-dup (MinHash bucket-representative) — r3
+# ---------------------------------------------------------------------------
+
+_ND_ORIG = "the quick brown fox jumps over the lazy dog near the river bank today"
+_ND_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+_ND_NEAR2 = "a quick brown fox jumps over the lazy dog near the river bank today"
+_ND_DIST = "completely different words about spark streaming engines and window state"
+_ND_DIST2 = "yet another unrelated sentence concerning parquet files and shuffle metrics"
+
+
+@pytest.fixture(scope="module")
+def neardup_batches(tmp_path_factory):
+    """Near-duplicate turn texts arriving in LATER micro-batches than
+    their originals (one and two batches later), so suppressing them
+    requires the band-bucket ledger to survive across epochs. Arrival
+    order across batches is consistent with (ts, conv_id, turn_idx) —
+    the documented parity contract."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    files = [
+        [("c1", 0, "user", _ND_ORIG, None, base),
+         ("c1", 1, "assistant", _ND_DIST, "search",
+          base + pd.Timedelta(seconds=10)),
+         ("c1", 2, "user", "hi", None, base + pd.Timedelta(seconds=20))],
+        # near-dup of the original, one batch later + a fresh distinct text
+        [("c2", 0, "user", _ND_NEAR, None, base + pd.Timedelta(minutes=2)),
+         ("c2", 1, "assistant", _ND_DIST2, "fetch",
+          base + pd.Timedelta(minutes=2, seconds=10))],
+        # second near-dup two batches after the original
+        [("c3", 0, "user", _ND_NEAR2, None, base + pd.Timedelta(minutes=4))],
+        [("conv-flush", 0, "user", "flush", "flush",
+          base + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("neardup_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _neardup_batch_reference(spark, source_dir: str) -> pd.DataFrame:
+    from data_harvesting_spark.operators.dedup import lsh_bucket_dedup
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    return lsh_bucket_dedup(t, ["ts", "conv_id", "turn_idx"]).toPandas()
+
+
+def test_neardup_stream_equals_batch(spark, neardup_batches, tmp_path):
+    """Cross-micro-batch MinHash near-dup suppression equals batch
+    lsh_bucket_dedup: near-duplicates one AND two batches after the
+    original drop; distinct and shingle-less texts survive."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_neardup_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_neardup_stream_job(
+        spark, neardup_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert ("c2", 0) not in keys and ("c3", 0) not in keys  # near-dups gone
+    assert {("c1", 0), ("c1", 1), ("c1", 2), ("c2", 1)} <= keys
+    want = _neardup_batch_reference(spark, neardup_batches)
+    pd.testing.assert_frame_equal(_canon_turns(got), _canon_turns(want))
+
+
+def test_neardup_stream_kill_and_resume(spark, neardup_batches, tmp_path):
+    """W7 on the near-dup'd stream: stop mid-input, resume from the
+    checkpoint — output still equals batch exactly (the frozen-pre-state
+    band ledger replays idempotently with the epoch sink)."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_neardup_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_neardup_stream_job(
+        spark, neardup_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_neardup_stream_job(
+        spark, neardup_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    want = _neardup_batch_reference(spark, neardup_batches)
+    pd.testing.assert_frame_equal(_canon_turns(got), _canon_turns(want))
