@@ -46,8 +46,9 @@ class HarvestConfig:
     # gate-failing conversations included — whenever inter-session
     # event-time gaps stay under this retention; beyond it the stream
     # (correctly, and by documented design) treats the conversation as
-    # finished. The session-window runner's cap ledger evicts on the same
-    # retention (streaming/pipeline.py).
+    # finished. The session-window runner's cap ledger (and, when
+    # min_pairs_per_conv > 1, its pending below-gate pool) evicts on the
+    # same retention (streaming/pipeline.py).
     cap_state_retention: str = "7 days"
     # P10 — post-emission suppression window, in turns
     # (reference: FRAMES_SKIP_AFTER_DETECT)
@@ -95,13 +96,14 @@ def validate_config(
     combinations a given streaming architecture cannot implement exactly,
     instead of silently diverging from batch semantics:
 
-    - conversation-scope ``min_pairs_per_conv > 1`` needs the whole
-      conversation before emitting anything. The KERNEL runner implements
-      it exactly by deferring emission to the conversation's event-time
-      timeout (streaming/state.py); the session-window runner cannot
-      retract sessions its ledger already emitted, so it rejects the
-      combination. (Conversation-scope cap and suppression are
-      streaming-exact in both runners.)
+    - (historical) conversation-scope ``min_pairs_per_conv > 1`` needs the
+      whole conversation before emitting anything. The KERNEL runner
+      implements it exactly by deferring emission to the conversation's
+      event-time timeout (streaming/state.py); since r3 the session-window
+      runner implements it too, by POOLING below-gate pairs in a pending
+      buffer beside its cap ledger (streaming/pipeline.py::_cap_with_ledger)
+      — so no streaming rejection remains. (Conversation-scope cap,
+      suppression, and min gate are streaming-exact in both runners.)
     """
     from data_harvesting_spark.streaming.sink import SINKS
 
@@ -116,18 +118,6 @@ def validate_config(
     if cfg.cap_scope not in ("conversation", "session"):
         raise ConfigError(
             f"cap_scope must be 'conversation' or 'session', got {cfg.cap_scope!r}"
-        )
-    if (
-        streaming_runner == "session_window"
-        and cfg.cap_scope == "conversation"
-        and cfg.min_pairs_per_conv > 1
-    ):
-        raise ConfigError(
-            "conversation-scope min_pairs_per_conv > 1 is not supported by "
-            "the session-window runner (its ledger cannot retract "
-            "already-emitted sessions); use the kernel runner (which defers "
-            "emission to the conversation timeout), cap_scope='session', or "
-            "the batch runner"
         )
     if cfg.sample_stride < 1:
         raise ConfigError("sample_stride must be >= 1")

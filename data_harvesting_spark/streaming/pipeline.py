@@ -689,6 +689,43 @@ def _cap_with_ledger(
     prior = _read_cap_ledger(spark, ledger_path, epoch_id)
     if prior is not None and "suppress_until" not in prior.columns:
         prior = prior.withColumn("suppress_until", F.lit(-1).cast("long"))
+    # conversation-scope min gate (P8, min_pairs_per_conv > 1): POOLED
+    # deferral via a pending buffer, the ledger analog of the kernel
+    # runner's deferred emission (streaming/state.py). Nothing is emitted
+    # for a conversation until its cumulative pair count (pending from
+    # prior epochs + fresh this epoch) reaches the gate; once a
+    # conversation has emitted anything (ledger emitted > 0) the gate is
+    # definitionally passed and later sessions emit directly. Withheld
+    # pairs live in a per-epoch pending snapshot with the same
+    # frozen-pre-state replay discipline as the ledger itself, and are
+    # retention-evicted with their conversation (semi-join against the
+    # post-eviction ledger snapshot below) — batch parity holds whenever
+    # inter-session gaps stay under cap_state_retention, exactly the
+    # kernel runner's documented contract.
+    min_gate = cfg.min_pairs_per_conv
+    pending_path = ledger_path.rstrip("/") + ".pending"
+    combined = withheld = None
+    if min_gate > 1:
+        pair_cols = ["conv_id", "window_start", "call_turn_idx",
+                     "response_turn_idx", "tool", "call_text", "response_text"]
+        pend_prior = _read_cap_ledger(spark, pending_path, epoch_id)
+        fresh = pairs.select(*pair_cols)
+        combined = (
+            fresh if pend_prior is None
+            else fresh.unionByName(pend_prior.select(*pair_cols))
+        ).persist()
+        passed = (
+            combined.groupBy("conv_id")
+            .agg(F.count("*").alias("_cnt"))
+            .where(F.col("_cnt") >= min_gate)
+            .select("conv_id")
+        )
+        if prior is not None:
+            passed = passed.unionByName(
+                prior.where(F.col("emitted") > 0).select("conv_id")
+            ).distinct()
+        pairs = combined.join(passed, "conv_id", "left_semi")
+        withheld = combined.join(passed, "conv_id", "left_anti")
     if prior is not None and "last_ms" not in prior.columns:
         # pre-eviction snapshot format: stamp rows as just-active at the
         # batch horizon; on an empty batch (hi unknown) stamp NULL, which
@@ -792,6 +829,18 @@ def _cap_with_ledger(
     snapshot.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(ledger_path, f"_epoch={epoch_id}")
     )
+    if min_gate > 1:
+        # pending(N) = still-below-gate pairs whose conversation survived
+        # the ledger's retention eviction; a conversation evicted from the
+        # snapshot drops its pending with it (gate permanently failed —
+        # the documented beyond-retention behavior)
+        withheld.join(
+            snapshot.select("conv_id"), "conv_id", "left_semi"
+        ).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(pending_path, f"_epoch={epoch_id}")
+        )
+        combined.unpersist()
+        _prune_cap_ledger(pending_path, epoch_id)
     acts.unpersist()
     turns.unpersist()
     _prune_cap_ledger(ledger_path, epoch_id)

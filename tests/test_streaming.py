@@ -817,13 +817,13 @@ def test_streaming_config_rejections(tmp_path):
     base = dict(
         sink_path=str(tmp_path / "s"), checkpoint_dir=str(tmp_path / "c")
     )
-    # session-window runner cannot retract emitted sessions for the
-    # conversation-scope min gate; the kernel runner CAN (deferred emission)
-    with pytest.raises(ConfigError):
-        validate_config(
-            HarvestConfig(min_pairs_per_conv=2, **base),
-            streaming_runner="session_window",
-        )
+    # conversation-scope min gate: kernel defers emission to the timeout;
+    # since r3 the session-window runner pools below-gate pairs in a
+    # pending buffer — BOTH accept the combination now
+    validate_config(
+        HarvestConfig(min_pairs_per_conv=2, **base),
+        streaming_runner="session_window",
+    )
     validate_config(
         HarvestConfig(min_pairs_per_conv=2, **base), streaming_runner="kernel"
     )
@@ -1586,3 +1586,100 @@ def test_neardup_stream_kill_and_resume(spark, neardup_batches, tmp_path):
     got = read_epoch_sink(spark, cfg.sink_path).toPandas()
     want = _neardup_batch_reference(spark, neardup_batches)
     pd.testing.assert_frame_equal(_canon_turns(got), _canon_turns(want))
+
+
+def test_conversation_min_gate_pooled_in_session_window_runner(
+    spark, multisession_batches, tmp_path
+):
+    """r3: the session-window runner now implements the conversation-scope
+    min gate by POOLING below-gate pairs in a pending buffer beside the
+    cap ledger. mc-tiny's 1-pair first session (closing in an earlier
+    epoch) is withheld, then emitted together with the second session once
+    the pooled total passes min=2 — cumulative numbering from the earlier
+    window, batch-equal. Under min=5 the conversation never emits."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+
+    # min=2: mc-tiny pools 1 + 3 pairs across epochs and emits all 4
+    cfg = _cfg(str(tmp_path / "m2"), min_pairs_per_conv=2)
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    tiny = want[want["conv_id"] == "mc-tiny"]
+    assert len(tiny) == 4 and tiny["window_start"].nunique() == 2
+    assert sorted(tiny["example_idx"]) == [0, 1, 2, 3]
+
+    q = start_curate_job_session_window(
+        spark, multisession_batches, cfg, available_now=False
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+
+    # min=5: mc-tiny (4 pairs total) stays gated forever; 9-pair convs emit
+    cfg5 = _cfg(str(tmp_path / "m5"), min_pairs_per_conv=5)
+    want5 = curate_sessions(t, cfg5).toPandas()
+    want5 = want5[want5["conv_id"] != "conv-flush"]
+    assert "mc-tiny" not in set(want5["conv_id"])
+
+    q5 = start_curate_job_session_window(
+        spark, multisession_batches, cfg5, available_now=False
+    )
+    drain(q5)
+    got5 = read_epoch_sink(spark, cfg5.sink_path).toPandas()
+    got5 = got5[got5["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon(got5[cols]), _canon(want5[cols]))
+
+
+def test_min_gate_pending_kill_and_resume(spark, multisession_batches, tmp_path):
+    """W7 × P8: kill the session-window runner while below-gate pairs sit
+    in the pending buffer, resume — the frozen-pre-state pending snapshots
+    replay with the ledger, so the final output still equals batch."""
+    import time
+
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_curate_job_session_window,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path), min_pairs_per_conv=2)
+    q = start_curate_job_session_window(
+        spark, multisession_batches, cfg, available_now=False
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_curate_job_session_window(
+        spark, multisession_batches, cfg, available_now=False
+    )
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+        multisession_batches + "/*.parquet"
+    )
+    want = curate_sessions(t, cfg).toPandas()
+    want = want[want["conv_id"] != "conv-flush"]
+    cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
+            "response_turn_idx", "tool", "call_text", "response_text"]
+    pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
