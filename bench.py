@@ -327,12 +327,25 @@ def run_streaming(
     from data_harvesting_spark.streaming.pipeline import (
         start_curate_job,
         start_curate_job_session_window,
+        start_dedup_stream_job,
+        start_neardup_stream_job,
     )
 
-    starter = (
-        start_curate_job_session_window if mode == "session_window"
-        else start_curate_job
-    )
+    if mode in ("dedup", "neardup"):
+        job = start_dedup_stream_job if mode == "dedup" else start_neardup_stream_job
+
+        def starter(spark, src, cfg, available_now):
+            return job(
+                spark, src, cfg,
+                sink_path=cfg.sink_path,
+                checkpoint_dir=cfg.checkpoint_dir,
+                available_now=available_now,
+            )
+    else:
+        starter = (
+            start_curate_job_session_window if mode == "session_window"
+            else start_curate_job
+        )
     work = tempfile.mkdtemp(prefix="dhs_stream_run_")
     cfg = HarvestConfig(
         session_gap="30 minutes",
