@@ -593,3 +593,42 @@ def test_lsh_bucket_dedup_semantics(spark):
     df = spark.createDataFrame(rows, "ord long, text string")
     kept = sorted(r["ord"] for r in lsh_bucket_dedup(df, ["ord"]).collect())
     assert kept == [1, 3, 4]
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    """Cross-check the distributed two-level aggregate against a plain
+    Python Counter reference on 60 seeded random docs (varied vocab
+    sizes, lengths 1..40, including heavy-repeat shapes)."""
+    import random
+    from collections import Counter
+
+    from data_harvesting_spark.operators.quality import repetition_stats
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(1, 40)
+        words = [rng.choice(vocab[: rng.randint(1, len(vocab))]) for _ in range(k)]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    for doc_id, text in rows:
+        words = text.split(" ")
+        n = len(words)
+        c = Counter(words)
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        want_dup_w = round(1.0 - len(c) / n, 6)
+        want_top_w = round(c.most_common(1)[0][1] / n, 6)
+        want_dup_2 = (
+            round(1.0 - len(set(bigrams)) / len(bigrams), 6) if bigrams else 0.0
+        )
+        g = got[doc_id]
+        assert g["n_words"] == n
+        assert abs(g["dup_word_frac"] - want_dup_w) < 1e-9, (doc_id, text)
+        assert abs(g["top_word_frac"] - want_top_w) < 1e-9, (doc_id, text)
+        assert abs(g["dup_2gram_frac"] - want_dup_2) < 1e-9, (doc_id, text)
+        assert g["repetitive"] == (
+            want_dup_w > 0.55 or want_top_w > 0.12 or want_dup_2 > 0.05
+        )
