@@ -114,10 +114,27 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_ids(sh: DataFrame, mode: str) -> DataFrame:
-    """shingle → non-negative int64 id. 'xxhash64' = scale path;
-    'rank' = engine-portable (oracle parity), global sort barrier."""
+    """shingle → non-negative int64 id bounded under MINHASH_PRIME (so the
+    affine mix ``(sid*a + b) % p`` never overflows int64).
+
+    - 'xxhash64': scale path — pure JVM expression, not reproducible in
+      DuckDB (no xxhash64 there).
+    - 'md5': engine-PORTABLE **and** barrier-free — first 60 md5 bits,
+      identical SQL in DuckDB (`CAST('0x'||substr(md5(s),1,15) AS
+      BIGINT)`), still a per-row expression. The oracle-matched default.
+    - 'rank': legacy portable ids via global dense_rank (sort barrier);
+      kept for the cross-mode soundness test.
+    """
     if mode == "xxhash64":
         return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)))
+    if mode == "md5":
+        return sh.withColumn(
+            "sid",
+            F.pmod(
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint"),
+                F.lit(MINHASH_PRIME),
+            ),
+        )
     ids = sh.select("shingle").distinct().withColumn(
         "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
     )
@@ -247,16 +264,25 @@ def simhash64(
 
     JVM-side: explode tokens, hash, per-bit ±1 vote via bit arithmetic,
     reassemble. ``hash_mode='xxhash64'`` is the scale path;
-    ``'rank'`` (dense_rank token ids mixed with ``(wid*a+b) % p``) is
-    engine-portable for the DuckDB oracle — same trick as MinHash rank
-    mode, global sort barrier, oracle-only. With rank mode use
-    ``bits <= 31`` (the mix stays under 2^31).
+    ``'md5'`` (first 60 md5 bits mod p) is engine-portable for the DuckDB
+    oracle AND barrier-free — a per-row expression like xxhash64;
+    ``'rank'`` (dense_rank token ids mixed with ``(wid*a+b) % p``) is the
+    legacy portable mode with a global sort barrier. With md5/rank modes
+    use ``bits <= 31`` (the hash stays under 2^31).
     """
     toks = normalize_docs(documents).select(
         "doc_id", F.explode(F.split("norm_text", " ")).alias("w")
     )
     if hash_mode == "xxhash64":
         toks = toks.withColumn("h", F.xxhash64("w"))
+    elif hash_mode == "md5":
+        toks = toks.withColumn(
+            "h",
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint"),
+                F.lit(MINHASH_PRIME),
+            ),
+        )
     else:
         ids = toks.select("w").distinct().withColumn(
             "wid", F.dense_rank().over(Window.orderBy("w")).cast("bigint")
@@ -315,16 +341,19 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8,
     )
 
 
-def fingerprint_rank(documents: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+def fingerprint_rank(
+    documents: DataFrame, k: int = 8, n: int = 3, hash_mode: str = "md5"
+) -> DataFrame:
     """Engine-portable winnowing-style fingerprint: the ``k``
     lexicographically-smallest mixed shingle hashes, joined into a string.
 
-    Shingle ids via global dense_rank (oracle-portable; sort barrier —
-    oracle-only), mixed with ``(sid*a+b) % p``. The scale path is the pure
-    JVM ``functions.text.fingerprint`` (xxhash64, no global sort). Docs
-    with fewer than ``n`` words have no shingles → NULL fp (both engines).
+    Default shingle ids via the portable md5 expression (barrier-free,
+    identical in DuckDB), mixed with ``(sid*a+b) % p``; 'rank' (global
+    dense_rank, sort barrier) kept as the legacy mode. The scale path is
+    the pure JVM ``functions.text.fingerprint`` (xxhash64). Docs with
+    fewer than ``n`` words have no shingles → NULL fp (both engines).
     """
-    sh = _shingle_ids(word_shingles(documents, n), "rank")
+    sh = _shingle_ids(word_shingles(documents, n), hash_mode)
     fps = (
         sh.withColumn("hv", (F.col("sid") * _A[1] + _B[1]) % MINHASH_PRIME)
         .groupBy("doc_id")

@@ -80,9 +80,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- minhash LSH
-# Engine-portable oracle variant: shingle ids via global dense_rank (a sort
-# barrier — fine for the oracle; the scale path uses xxhash64 ids and is
-# checked for superset-consistency in tests).
+# Engine-portable shingle ids via the first 60 md5 bits — identical per-row
+# expression in both engines, NO global sort (the r2 rank-mode dense_rank
+# barrier is gone; 'rank' remains only in the cross-mode soundness test).
+# The production default stays xxhash64 (cheaper hash, JVM-only).
 _MINHASH_PARAMS = "params(i, a, b) AS (VALUES " + ", ".join(
     f"({i}, {a}, {b})"
     for i, (a, b) in enumerate(
@@ -97,11 +98,12 @@ _MINHASH_PARAMS = "params(i, a, b) AS (VALUES " + ", ".join(
 
 _MINHASH_SQL = f"""
 WITH {_SHINGLE_SQL},
-ids AS (
-  SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
-  FROM (SELECT DISTINCT shingle FROM shingles) t
+sh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+           % 2147483647 AS sid
+  FROM shingles
 ),
-sh AS (SELECT s.doc_id, i.sid FROM shingles s JOIN ids i ON s.shingle = i.shingle),
 {_MINHASH_PARAMS},
 mh AS (
   SELECT doc_id, p.i AS hi, min((sid * p.a + p.b) % 2147483647) AS mh
@@ -128,12 +130,12 @@ FROM cand c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
 @register("minhash_lsh_dups", _MINHASH_SQL)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup pairs, verified at Jaccard ≥ 0.5.
-    ``hash_mode='rank'`` here for engine portability; production default is
-    xxhash64 (no global sort)."""
+    ``hash_mode='md5'``: engine-portable AND barrier-free (per-row id
+    expression in both engines); production default is xxhash64."""
     from data_harvesting_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="rank")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="md5")
 
 
 # ---------------------------------------------------------------- text analysis
@@ -290,13 +292,10 @@ WITH norm AS (
   FROM documents
 ),
 toks AS (SELECT doc_id, unnest(string_split(norm_text, ' ')) AS w FROM norm),
-ids AS (
-  SELECT w, CAST(DENSE_RANK() OVER (ORDER BY w) AS BIGINT) AS wid
-  FROM (SELECT DISTINCT w FROM toks) t
-),
 hashed AS (
-  SELECT t.doc_id, (i.wid * 1103 + 12345) % 2147483647 AS h
-  FROM toks t JOIN ids i ON t.w = i.w
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM toks
 ),
 bitpos AS (SELECT j FROM range(16) r(j)),
 votes AS (
@@ -319,14 +318,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 @register("simhash_near_dups", _SIMHASH_SQL)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs. ``hash_mode='rank'``/16-bit here for engine
-    portability (dense_rank token ids + affine mix — identical fingerprints
-    in DuckDB); production default is 64-bit xxhash64 with the same
-    pigeonhole chunk blocking (no global sort)."""
+    """SimHash near-dup pairs. ``hash_mode='md5'``/16-bit here for engine
+    portability (first 60 md5 bits mod p — identical per-row expression in
+    DuckDB, no global sort); production default is 64-bit xxhash64 with
+    the same pigeonhole chunk blocking."""
     from data_harvesting_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="rank")
+    return simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="md5")
 
 
 # ---------------------------------------------------------------- ANN LSH
@@ -406,13 +405,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_SQL = f"""
 WITH {_SHINGLE_SQL},
-ids AS (
-  SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
-  FROM (SELECT DISTINCT shingle FROM shingles) t
-),
 h AS (
-  SELECT s.doc_id, (i.sid * 12289 + 23456) % 2147483647 AS hv
-  FROM shingles s JOIN ids i ON s.shingle = i.shingle
+  SELECT doc_id,
+         ((CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+           % 2147483647) * 12289 + 23456) % 2147483647 AS hv
+  FROM shingles
 ),
 topk AS (
   SELECT doc_id, hv FROM (
@@ -431,8 +428,8 @@ SELECT d.doc_id, f.fp FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
 @register("doc_fingerprint", _FINGERPRINT_SQL)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: the 8 smallest mixed shingle
-    hashes. Rank mode here for oracle portability; the scale path is the
-    pure-JVM xxhash64 ``functions.text.fingerprint`` (no global sort),
+    hashes. Portable md5 ids (barrier-free, identical in DuckDB); the
+    scale path is the pure-JVM xxhash64 ``functions.text.fingerprint``,
     stability unit-tested."""
     from data_harvesting_spark.operators.dedup import fingerprint_rank
 

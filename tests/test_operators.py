@@ -86,7 +86,7 @@ def test_minhash_modes_sound_vs_exact_jaccard(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     truth = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
     tset = set(map(tuple, truth[["doc_a", "doc_b"]].values))
-    for mode in ["xxhash64", "rank"]:
+    for mode in ["xxhash64", "md5", "rank"]:
         got = minhash_lsh_pairs(docs, threshold=0.5, hash_mode=mode).toPandas()
         gset = set(map(tuple, got[["doc_a", "doc_b"]].values))
         assert gset <= tset, f"{mode}: unsound pairs {gset - tset}"
