@@ -13,9 +13,10 @@ Scale design notes (100 TB posture):
   (xxhash64 JVM-side, no Python), then LSH bands turn the O(n²) pair
   problem into equi-joins on (band, signature) buckets; only bucketed
   candidates get verified.
-- the ``hash_mode="rank"`` variants exist ONLY for DuckDB-oracle parity
-  (engine-portable shingle ids via dense_rank); they introduce a global
-  distinct+sort and are not the scale path. Default is ``xxhash64``.
+- the ``hash_mode="md5"`` variants are the DuckDB-oracle-portable ids
+  (first 60 md5 bits — a per-row expression in both engines, no barrier);
+  ``"rank"`` (dense_rank ids, global sort) survives only in the
+  cross-mode soundness test. Default is ``xxhash64`` (cheaper hash).
 - n-gram Jaccard self-join filters top-frequency shingles (stopword
   shingles explode candidate counts quadratically) — same reason MinHash
   exists at all.
@@ -368,3 +369,124 @@ def fingerprint_rank(
         )
     )
     return documents.select("doc_id").join(fps, "doc_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: pair list → transitive closure → keep-set.
+#
+# Every pair-finder above emits near-dup PAIRS; a production dedup pipeline
+# then needs the duplicate CLUSTERS (a~b and b~c ⇒ {a,b,c} is one group,
+# keep exactly one). That transitive-closure step is connected components
+# over the pair graph — at 100 TB it cannot be a driver-side union-find, so
+# it runs as the alternating large-star/small-star MapReduce algorithm
+# (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+# O(log² n) worst-case rounds (O(log n) observed), each round two
+# shuffle-keyed group-min joins — never all-pairs, never driver-resident.
+# Skewed high-degree hubs are handled BY the algorithm: large-star re-roots
+# a hub's edges onto its minimum neighbor, splitting the hub's bucket.
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``;
+    ``component`` is the minimum node id reachable from it (undirected).
+
+    Alternating large-star / small-star min-label propagation; converges
+    to one star per component centered at its minimum node. Convergence is
+    detected EXACTLY (``new ⊆ old`` via exceptAll + equal counts — no
+    checksum-collision risk); each iteration is localCheckpoint'ed so the
+    logical plan stays O(1) deep instead of O(iterations).
+
+    Reference analog: the tracker's persistent grouping of detections into
+    identities (`/root/reference/condition.py:22-24`) is the same
+    pairs→groups closure at single-node scale.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"),
+            F.col(dst).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if e.isEmpty():
+        return edges.sparkSession.createDataFrame(
+            [], "node bigint, component bigint"
+        )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        # For each node u: attach every neighbor v > u to m = min(N(u) ∪ {u}).
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # Orient edges large→small; attach each small neighbor (and u) to
+        # the minimum of u's small neighborhood.
+        o = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))  # m <= every v <= u
+        return (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
+    converged = False
+    for _ in range(max_iter):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        # nxt ⊆ e and |nxt| = |e|  ⇒  nxt = e (exact, no hash check)
+        if n_nxt == n_prev and nxt.exceptAll(e).isEmpty():
+            e, converged = nxt, True
+            break
+        e, n_prev = nxt, n_nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(expected O(log n)); raise max_iter"
+        )
+    # Fixpoint: every edge is (member > root, root); roots map to themselves.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.union(roots)
+
+
+def assign_components(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, component, is_canonical) for EVERY document: near-dup pairs
+    → connected components → cluster label; docs in no pair are their own
+    singleton component. ``is_canonical`` marks the one row per cluster a
+    keep-set filter retains (the minimum doc_id — deterministic and
+    replay-stable, same tie-break as ``exact_dedup``)."""
+    cc = connected_components(pairs)
+    return (
+        documents.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )

@@ -138,6 +138,51 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="md5")
 
 
+# ------------------------------------------------------- duplicate clusters
+# Pair list → transitive closure → keep-set: the step between "near-dup
+# pairs" and "one canonical doc per duplicate group". Spark runs the
+# distributed alternating-star connected-components algorithm; the oracle
+# computes the same closure as a recursive CTE (min reachable id).
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) p
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(coalesce(least(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS component,
+       coalesce(least(c.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels over the MinHash near-dup pair graph:
+    every doc gets its component id (min doc_id reachable via pairs;
+    singletons label themselves) and an ``is_canonical`` keep-flag.
+    Spark side is the alternating large-star/small-star closure
+    (``connected_components`` — O(log n) shuffle rounds, never all-pairs,
+    never driver-resident); the oracle is a recursive CTE."""
+    from data_harvesting_spark.operators.dedup import (
+        assign_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="md5")
+    return assign_components(docs, pairs)
+
+
 # ---------------------------------------------------------------- text analysis
 def _occ_sql(expr: str, needle: str) -> str:
     n = len(needle)

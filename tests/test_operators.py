@@ -632,3 +632,111 @@ def test_repetition_stats_matches_bruteforce(spark):
         assert g["repetitive"] == (
             want_dup_w > 0.55 or want_top_w > 0.12 or want_dup_2 > 0.05
         )
+
+
+# ---------------------------------------------------------------------------
+# connected components (pair list -> duplicate clusters)
+
+
+def _cc_reference(edges, nodes):
+    """Driver-side union-find — the single-node truth the distributed
+    algorithm must match."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label = min of component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _cc_spark(spark, edges):
+    from data_harvesting_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df).toPandas()
+    assert not out["node"].duplicated().any()
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_cc_chain_worst_case_diameter(spark):
+    """A 32-node path graph — diameter 31; min-label propagation without
+    star re-rooting would need 31 rounds, the alternating-star algorithm
+    must close it inside the O(log n) budget (max_iter=30 guards this)."""
+    edges = [(i, i + 1) for i in range(31)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(32)}
+
+
+def test_cc_hub_star_and_isolated_components(spark):
+    """High-degree hub whose id is NOT the minimum, plus a separate
+    triangle and a 2-node component."""
+    edges = [(50, v) for v in [3, 7, 9, 11, 13]]          # hub 50, min 3
+    edges += [(100, 101), (101, 102), (100, 102)]          # triangle
+    edges += [(200, 201)]
+    got = _cc_spark(spark, edges)
+    assert {got[n] for n in [3, 7, 9, 11, 13, 50]} == {3}
+    assert {got[n] for n in [100, 101, 102]} == {100}
+    assert {got[n] for n in [200, 201]} == {200}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(260)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _cc_reference(edges, {n for e in edges for n in e})
+    got = _cc_spark(spark, edges)
+    assert got == want
+
+
+def test_cc_empty_and_duplicate_edges(spark):
+    from data_harvesting_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    # duplicate + reversed + self-loop edges collapse to one component
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3)], "doc_a long, doc_b long"
+    )
+    got = dict(
+        (r["node"], r["component"]) for r in connected_components(noisy).collect()
+    )
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_assign_components_covers_all_docs(spark):
+    """Every doc labeled; singletons are their own canonical component;
+    exactly one canonical doc (the min) per cluster."""
+    from data_harvesting_spark.operators.dedup import (
+        assign_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="xxhash64")
+    out = assign_components(docs, pairs).toPandas()
+    assert len(out) == docs.count()
+    assert not out["doc_id"].duplicated().any()
+    per_comp = out.groupby("component")
+    assert (per_comp["is_canonical"].sum() == 1).all()
+    assert (per_comp["doc_id"].min() == per_comp["component"].first()).all()
+    # the pair graph is honored: paired docs share a component
+    p = pairs.toPandas()
+    lbl = dict(zip(out["doc_id"], out["component"]))
+    for a, b in p[["doc_a", "doc_b"]].values:
+        assert lbl[a] == lbl[b]
