@@ -26,6 +26,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from data_harvesting_spark.operators.dedup import (
+        connected_components,
         exact_dedup,
         minhash_lsh_pairs,
         simhash_near_pairs,
@@ -75,9 +76,36 @@ def main() -> None:
     )
     base.count()
 
+    state: dict = {}
+
+    def run_minhash() -> int:
+        state["pairs"] = minhash_lsh_pairs(base, n=3, threshold=0.5).persist()
+        return state["pairs"].count()
+
+    def run_pair_components() -> int:
+        # closure over the REAL near-dup pair graph (planted pairs are
+        # disjoint 2-cliques, so components == pairs when LSH finds them)
+        cc = connected_components(state["pairs"])
+        n_comp = cc.select("component").distinct().count()
+        state["pairs"].unpersist()
+        return n_comp
+
+    def run_cc_chains() -> int:
+        # standalone closure scale probe: n nodes in chains of 10
+        # (diameter 9 — min-label propagation without star re-rooting
+        # would crawl); expected components = exactly n/10
+        edges = (
+            spark.range(0, n, 1, 64)
+            .where(F.col("id") % 10 != 9)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        )
+        return connected_components(edges).select("component").distinct().count()
+
     ops = [
         ("exact_dedup_kept", lambda: exact_dedup(base).count()),
-        ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(base, n=3, threshold=0.5).count()),
+        ("minhash_lsh_pairs", run_minhash),
+        ("neardup_components", run_pair_components),
+        ("cc_chains_of_10", run_cc_chains),
         ("simhash_pairs_h3", lambda: simhash_near_pairs(base, max_hamming=3).count()),
     ]
     for name, fn in ops:
