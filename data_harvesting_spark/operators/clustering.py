@@ -103,21 +103,32 @@ def cluster_groups(
     k_mode: str = "fixed",
     k_min: int = 1,
     k_max: int = 8,
+    n_iter: int = 20,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Per-group KMeans: one row per (group, cluster) with centroid +
     member count + total inertia — the A4/A5 "dominant mode" shape over
     continuous vectors. ``k_mode='elbow'`` selects k per group by the
     deterministic elbow over [k_min, k_max] (reference semantics);
-    ``'fixed'`` uses ``k``."""
+    ``'fixed'`` uses ``k``. ``order_col`` (e.g. a row id) pre-sorts each
+    group so the norm-order init breaks exact-norm ties deterministically
+    — required when the result must be engine-reproducible (the unrolled
+    SQL oracle); without it ties fall back to Arrow arrival order."""
+
+    sel = [F.col(group_col), F.col(vec_col)] + (
+        [F.col(order_col)] if order_col else []
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = str(pdf[group_col].iloc[0])
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
         x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         if k_mode == "elbow":
-            kk, fits = _elbow_select(x, k_min, k_max, seed)
+            kk, fits = _elbow_select(x, k_min, k_max, seed, n_iter)
             labels, centroids, inertia = fits[kk]  # reuse the elbow's fit
         else:
-            labels, centroids, inertia = _kmeans_numpy(x, k, seed)
+            labels, centroids, inertia = _kmeans_numpy(x, k, seed, n_iter)
         rows = []
         for j in range(len(centroids)):
             m = labels == j
@@ -135,7 +146,7 @@ def cluster_groups(
         return pd.DataFrame(rows)
 
     return (
-        df.select(F.col(group_col), F.col(vec_col))
+        df.select(*sel)
         .groupBy(group_col)
         .applyInPandas(fit, schema=_OUT_SCHEMA)
     )

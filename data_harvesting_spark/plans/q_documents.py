@@ -924,6 +924,127 @@ def q_embedding_centroid_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full Lloyd-step oracle for the clustering family: with FIXED k, FIXED
+# iteration count, and a deterministic engine-reproducible init, KMeans IS
+# SQL-expressible — each iteration unrolls into one assignment CTE (squared
+# distance via the long (vec, dim) form, ties to the lower cluster, exactly
+# numpy argmin) and one update CTE (per-dim mean, empty clusters keep the
+# prior centroid — the kernel's fallback). k=2 × 2 iterations here; the
+# elbow-selected production path (embedding_clusters) stays rows-only.
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    return f"""
+d{i} AS (
+  SELECT x.g, x.vec_id, c.cl,
+         sum((x.val - c.cval) * (x.val - c.cval)) AS d2
+  FROM x JOIN {prev} c ON x.g = c.g AND x.dim = c.dim
+  GROUP BY x.g, x.vec_id, c.cl
+),
+a{i} AS (
+  SELECT g, vec_id, cl FROM (
+    SELECT g, vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY g, vec_id ORDER BY d2, cl) AS rn
+    FROM d{i}) t
+  WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.g, p.cl, p.dim, coalesce(m.mval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN (
+    SELECT a.g, a.cl, x.dim, avg(x.val) AS mval
+    FROM a{i} a JOIN x ON a.g = x.g AND a.vec_id = x.vec_id
+    GROUP BY a.g, a.cl, x.dim) m
+  ON p.g = m.g AND p.cl = m.cl AND p.dim = m.dim
+)"""
+
+
+_KMEANS_K2_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS g, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT g, vec_id,
+         CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         unnest(v) AS val
+  FROM e
+),
+nrm AS (SELECT g, vec_id, sum(val * val) AS n2 FROM x GROUP BY g, vec_id),
+lo AS (
+  SELECT g, vec_id FROM (
+    SELECT g, vec_id, ROW_NUMBER() OVER (PARTITION BY g ORDER BY n2, vec_id) AS rn
+    FROM nrm) t WHERE rn = 1
+),
+hi AS (
+  SELECT g, vec_id FROM (
+    SELECT g, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY n2 DESC, vec_id DESC) AS rn
+    FROM nrm) t WHERE rn = 1
+),
+c0 AS (
+  SELECT x.g, 0 AS cl, x.dim, x.val AS cval
+  FROM x JOIN lo ON x.g = lo.g AND x.vec_id = lo.vec_id
+  UNION ALL
+  SELECT x.g, 1 AS cl, x.dim, x.val AS cval
+  FROM x JOIN hi ON x.g = hi.g AND x.vec_id = hi.vec_id
+),
+{_kmeans_iter_sql(1, "c0")},
+{_kmeans_iter_sql(2, "c1")},
+members AS (SELECT g, cl, count(*) AS n_members FROM a2 GROUP BY g, cl),
+inert AS (
+  SELECT x.g, sum((x.val - c.cval) * (x.val - c.cval)) AS inertia
+  FROM x
+  JOIN a2 ON x.g = a2.g AND x.vec_id = a2.vec_id
+  JOIN c2 c ON c.g = x.g AND c.cl = a2.cl AND c.dim = x.dim
+  GROUP BY x.g
+)
+SELECT m.g AS group_key, CAST(m.cl AS INT) AS cluster_id, c.dim AS dim_idx,
+       round(c.cval, 6) AS centroid_val, m.n_members,
+       round(i.inertia, 6) AS inertia
+FROM members m
+JOIN c2 c ON c.g = m.g AND c.cl = m.cl
+JOIN inert i ON i.g = m.g
+"""
+
+
+@register("embedding_kmeans_k2", _KMEANS_K2_SQL)
+def q_embedding_kmeans_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 full-iteration oracle: per-group KMeans (k=2, 2 Lloyd
+    iterations, min/max-norm init tie-broken by vec_id) through the SAME
+    ``cluster_groups`` kernel as ``embedding_clusters`` — assignments,
+    empty-cluster fallback, per-dim centroid means, AND the final inertia
+    are value-checked against the unrolled SQL, so the iterative update
+    math (not just the k=1 accumulation) is oracle-covered.
+
+    Cross-engine float stability, measured (numpy and DuckDB sum the 64
+    squares in different orders, error ≲ 7e-15): min assignment margin
+    |d0−d1| is 1.4e-4 / 5.5e-4 and min init-extreme norm gap 1.6e-9 /
+    1.7e-9 at sf0.01 / sf0.001 — 5+ orders of magnitude of headroom, so
+    assignments and init cannot flip between engines on this data."""
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").cast("string").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        "vec_id",
+    )
+    out = cluster_groups(
+        emb, "grp", "v", k=2, k_mode="fixed", n_iter=2, order_col="vec_id"
+    )
+    return out.select(
+        "group_key",
+        "cluster_id",
+        F.posexplode("centroid").alias("dim_idx", "c"),
+        "n_members",
+        "inertia",
+    ).select(
+        "group_key",
+        "cluster_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("c", 6).alias("centroid_val"),
+        "n_members",
+        F.round("inertia", 6).alias("inertia"),
+    )
+
+
 # Oracle for IVF via the deterministic data-anchor quantizer: centroids =
 # the corpus rows with vec_id % 37 == 0 (id-bounded), reproducible in SQL.
 # Argmax stability across engines measured: min top1-top2 cosine margin

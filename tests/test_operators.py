@@ -740,3 +740,31 @@ def test_assign_components_covers_all_docs(spark):
     lbl = dict(zip(out["doc_id"], out["component"]))
     for a, b in p[["doc_a", "doc_b"]].values:
         assert lbl[a] == lbl[b]
+
+
+def test_kmeans_order_col_replay_stable(spark):
+    """With order_col, per-group KMeans output is identical under input
+    repartition/shuffle (norm-tie init breaks on the id, not Arrow
+    arrival order)."""
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("label").cast("string").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        "vec_id",
+    )
+    def run(df):
+        out = cluster_groups(df, "grp", "v", k=2, k_mode="fixed",
+                             n_iter=2, order_col="vec_id")
+        return (
+            out.select("group_key", "cluster_id", "n_members",
+                       F.round("inertia", 9).alias("i"),
+                       F.concat_ws(",", F.transform(
+                           "centroid",
+                           lambda c: F.format_string("%.9f", c))).alias("cs"))
+            .toPandas().sort_values(["group_key", "cluster_id"])
+            .reset_index(drop=True)
+        )
+    a = run(emb)
+    b = run(emb.repartition(17).sortWithinPartitions(F.col("vec_id").desc()))
+    pd.testing.assert_frame_equal(a, b)
