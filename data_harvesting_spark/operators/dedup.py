@@ -474,6 +474,73 @@ def connected_components(
     return members.union(roots)
 
 
+def dedup_against_corpus(
+    increment: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Incremental dedup: keep the increment rows that duplicate NOTHING
+    in the reference corpus — exact (normalized-text hash anti-join) or
+    near (MinHash band probe + exact-Jaccard verify ≥ ``threshold``).
+
+    This is the growing-corpus shape: at 100 TB you never re-dedup the
+    corpus against itself per ingest; you probe the new batch against the
+    corpus's (band, band_sig) index. The corpus side here is exactly the
+    persistable index — ``minhash_bands(corpus)`` plus the distinct text
+    hashes — so a production pipeline computes it once per corpus version
+    and bucket-joins each increment against it. Work per ingest:
+    O(|increment| × BANDS) probe + candidate-proportional verification;
+    the corpus is touched only through its index and the candidate rows'
+    shingles. Intra-increment duplicates are deliberately NOT dropped
+    here (that is ``exact_dedup``/``lsh_bucket_dedup``'s job).
+
+    Reference analog: the tracker's dedup of new detections against
+    already-tracked identities (`/root/reference/condition.py:22-24`).
+    """
+    inc_n = normalize_docs(increment).withColumn("h", F.xxhash64("norm_text"))
+    corp_h = (
+        normalize_docs(corpus)
+        .select(F.xxhash64("norm_text").alias("h"))
+        .distinct()
+    )
+    no_exact = inc_n.join(corp_h, "h", "left_anti").drop("h", "norm_text")
+
+    inc_bands = minhash_bands(no_exact, n, hash_mode)
+    corp_bands = minhash_bands(corpus, n, hash_mode).select(
+        F.col("doc_id").alias("corp_id"), "band", "band_sig"
+    )
+    cand = (
+        inc_bands.join(corp_bands, ["band", "band_sig"])
+        .select("doc_id", "corp_id")
+        .distinct()
+    )
+    # verify ONLY probed candidates: |inc ∩ corp| shingles → exact Jaccard
+    inc_sh = word_shingles(increment, n)
+    corp_sh = word_shingles(corpus, n).select(
+        F.col("doc_id").alias("corp_id"), "shingle"
+    )
+    sizes_inc = inc_sh.groupBy("doc_id").agg(F.count("*").alias("sz_i"))
+    sizes_corp = corp_sh.groupBy("corp_id").agg(F.count("*").alias("sz_c"))
+    near_hit = (
+        cand.join(inc_sh, "doc_id")
+        .join(corp_sh, ["corp_id", "shingle"])
+        .groupBy("doc_id", "corp_id")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes_inc, "doc_id")
+        .join(sizes_corp, "corp_id")
+        .where(
+            F.col("inter")
+            / (F.col("sz_i") + F.col("sz_c") - F.col("inter"))
+            >= threshold
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return no_exact.join(near_hit, "doc_id", "left_anti")
+
+
 def assign_components(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """(doc_id, component, is_canonical) for EVERY document: near-dup pairs
     → connected components → cluster label; docs in no pair are their own

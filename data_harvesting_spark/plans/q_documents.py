@@ -96,8 +96,10 @@ _MINHASH_PARAMS = "params(i, a, b) AS (VALUES " + ", ".join(
     )
 ) + ")"
 
-_MINHASH_SQL = f"""
-WITH {_SHINGLE_SQL},
+# Shared band-building CTE chain (shingles → portable md5 ids → 16 minhash
+# values → 4 band signatures) — used by the pair finder AND the
+# incremental-dedup oracle below.
+_BANDS_CTES = f"""{_SHINGLE_SQL},
 sh AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
@@ -113,7 +115,10 @@ bands AS (
   SELECT doc_id, CAST(floor(hi / 4) AS INT) AS band,
          string_agg(CAST(mh AS STRING), '-' ORDER BY hi) AS band_sig
   FROM mh GROUP BY doc_id, CAST(floor(hi / 4) AS INT)
-),
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_BANDS_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -136,6 +141,68 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="md5")
+
+
+# ---------------------------------------------------- incremental dedup
+# The growing-corpus shape: dedup a NEW increment against the existing
+# corpus via its (band, band_sig) index — never re-dedup the corpus.
+# Deterministic split for the oracle: doc_id % 10 == 0 is the increment.
+_INCREMENT_SQL = f"""
+WITH {_BANDS_CTES},
+norm AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+exact_hit AS (
+  SELECT DISTINCT i.doc_id
+  FROM norm i JOIN norm c ON i.nt = c.nt
+  WHERE i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corp_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.inc_id, c.corp_id, count(*) AS inter
+  FROM cand c
+  JOIN shingles si ON si.doc_id = c.inc_id
+  JOIN shingles sc ON sc.doc_id = c.corp_id AND sc.shingle = si.shingle
+  GROUP BY c.inc_id, c.corp_id
+),
+near_hit AS (
+  SELECT DISTINCT t.inc_id AS doc_id
+  FROM inter t
+  JOIN sizes a ON a.doc_id = t.inc_id
+  JOIN sizes b ON b.doc_id = t.corp_id
+  WHERE t.inter * 1.0 / (a.sz + b.sz - t.inter) >= 0.5
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 10 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+  AND doc_id NOT IN (SELECT doc_id FROM near_hit)
+"""
+
+
+@register("dedup_increment", _INCREMENT_SQL)
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the existing corpus:
+    exact normalized-hash anti-join, then a MinHash band-index probe with
+    exact-Jaccard verification of probed candidates only — the corpus is
+    touched through its persistable index, never re-deduped
+    (``dedup_against_corpus``). Split is deterministic (doc_id % 10) so
+    both engines see identical increment/corpus sets."""
+    from data_harvesting_spark.operators.dedup import dedup_against_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+    corp = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup_against_corpus(inc, corp, n=3, threshold=0.5, hash_mode="md5").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 # ------------------------------------------------------- duplicate clusters

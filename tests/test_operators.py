@@ -768,3 +768,39 @@ def test_kmeans_order_col_replay_stable(spark):
     a = run(emb)
     b = run(emb.repartition(17).sortWithinPartitions(F.col("vec_id").desc()))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_against_corpus_planted(spark):
+    """Exact copy (normalization-insensitive), near-dup, short doc, and
+    unique doc each take their documented path against the corpus."""
+    from data_harvesting_spark.operators.dedup import dedup_against_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    long = ("kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee apple berry cherry dates elder")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten"),
+         (3, long)],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "  Alpha  bravo charlie delta echo foxtrot golf hotel india juliet "),  # exact after normalize
+            (11, long.replace("elder", "zulu")),  # near-dup: 17/19 shingles shared (jaccard 0.89)
+            (12, "completely different words entirely unrelated content here now ok"),  # unique
+            (13, "two words"),                     # <3 words: no shingles, kept
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ["xxhash64", "md5"]:
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_against_corpus(inc, corpus, hash_mode=mode).collect()
+        )
+        assert kept == [12, 13], (mode, kept)
+    # the short doc IS dropped when it exactly matches corpus text
+    corpus2 = corpus.union(spark.createDataFrame([(4, "two words")], "doc_id long, text string"))
+    kept2 = sorted(
+        r["doc_id"] for r in dedup_against_corpus(inc, corpus2).collect()
+    )
+    assert kept2 == [12]
