@@ -23,9 +23,9 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from data_harvesting_spark.functions.text import normalize_text
+from data_harvesting_spark.functions.text import normalize_text, text_hash
 
 # Per-row bigram list: zip the word array against itself shifted by one.
 # Linear per document, JVM-side, no shuffle.
@@ -160,4 +160,93 @@ def contamination_stats(
         "n_overlap",
         frac.alias("overlap_frac"),
         (frac >= threshold).alias("contaminated"),
+    )
+
+
+def boilerplate_turns(
+    transcripts: DataFrame,
+    *,
+    min_convs: int = 5,
+) -> DataFrame:
+    """C4/CCNet-style cross-document line dedup mapped to the transcript
+    surface: drop every turn whose normalized text occurs in at least
+    ``min_convs`` DISTINCT conversations (navigation chrome, canned
+    assistant boilerplate, empty/filler turns), keep everything else.
+
+    Reference analog: the greedy near-dup detection drop
+    (`/root/reference/condition.py:66-77`) removes within-frame repeats;
+    this is the corpus-level counterpart from the C4 pipeline (Raffel et
+    al. 2020 §2.2: "discard any line that occurred more than three times
+    in the corpus" — here the unit is a turn and the count is distinct
+    conversations, the transcript notion of "document").
+
+    Scale posture: the join key is the 8-byte ``xxhash64`` of normalized
+    text, never the text itself, so the shuffle carries fixed-width keys.
+    The boilerplate dim (texts in ≥ ``min_convs`` convs) is Zipf-small by
+    construction — the count table is distinct'd twice (per-conv, then
+    per-text) with map-side partial aggregation and **broadcast** into a
+    left-anti hash join; the corpus side is never re-shuffled. If a corpus
+    ever produced a boilerplate set too large to broadcast, drop the
+    ``F.broadcast`` hint and the same plan degrades to a shuffled anti
+    join keyed on the 8-byte hash.
+    """
+    keyed = transcripts.withColumn("tkey", text_hash("text"))
+    boiler = (
+        keyed.select("tkey", "conv_id")
+        .distinct()
+        .groupBy("tkey")
+        .agg(F.count("*").alias("n_convs"))
+        .where(F.col("n_convs") >= min_convs)
+        .select("tkey")
+    )
+    return keyed.join(F.broadcast(boiler), "tkey", "left_anti").select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
+def degenerate_tool_runs(
+    transcripts: DataFrame,
+    *,
+    min_run: int = 4,
+) -> DataFrame:
+    """Degenerate-loop detection over agent transcripts: maximal runs of
+    consecutive tool turns invoking the SAME tool within a conversation,
+    flagged when the run reaches ``min_run`` — the classic gaps-and-islands
+    pattern (two ``row_number`` windows whose difference is constant within
+    a run).
+
+    A stuck agent retrying one tool forever is the transcript analog of the
+    reference's post-emission suppression concern (emitting near-identical
+    consecutive frames, `/root/reference/services/harvest_service.py:207-231`);
+    a training pipeline drops or truncates such loops before export.
+
+    Emits ``(conv_id, tool, run_start, run_len)`` for qualifying runs.
+
+    Scale posture: both windows cluster on ``conv_id`` (the second on
+    ``(conv_id, tool)``, which hash-partitioning by ``conv_id`` already
+    satisfies), so the plan is ONE exchange + two sorts riding the same
+    conversation partitioning as every other transcript operator; the
+    run aggregate is a hash agg on the island key. No Python, no joins.
+    """
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    islands = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "tool",
+            "turn_idx",
+            (F.row_number().over(w_conv) - F.row_number().over(w_tool)).alias(
+                "grp"
+            ),
+        )
+    )
+    return (
+        islands.groupBy("conv_id", "tool", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("run_len"),
+            F.min("turn_idx").cast("int").alias("run_start"),
+        )
+        .where(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "run_start", "run_len")
     )

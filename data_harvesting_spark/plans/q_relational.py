@@ -150,3 +150,43 @@ def q_events_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
+
+
+# ---------------------------------------------------------------- JSON surface
+@register(
+    "tool_args_rollup",
+    """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+           AS value_milli_sum
+FROM events
+GROUP BY event_type, k_bucket
+""",
+)
+def q_tool_args_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured tool-argument extraction + rollup: parse the JSON
+    ``props`` payload JVM-side (``get_json_object``, codegen — no Python),
+    bucket the extracted argument, aggregate count and integerized value
+    sum per (event_type, bucket).
+
+    The reference parses its queue message JSON the same way
+    (`/root/reference/queue_harvesting.py:40-48`); this is that surface as
+    a declarative scan + hash agg. The float sum is integerized
+    (floor(value*1000), exact in IEEE double for this range) so the
+    cross-engine value-hash cannot flake at the ulp."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_type",
+            (k % 10).alias("k_bucket"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("vm").cast("bigint").alias("value_milli_sum"),
+        )
+    )

@@ -688,3 +688,76 @@ def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("lat_us").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------- quality:
+# C4-style cross-conversation boilerplate strip (turn-level line dedup)
+@register(
+    "boilerplate_strip",
+    _with_t(
+        """
+, norm AS (
+  SELECT conv_id, turn_idx, role, text,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext
+  FROM transcripts
+),
+bp AS (
+  SELECT ntext
+  FROM (SELECT DISTINCT ntext, conv_id FROM norm)
+  GROUP BY ntext HAVING count(*) >= 5
+)
+SELECT conv_id, turn_idx, role, text
+FROM norm WHERE ntext NOT IN (SELECT ntext FROM bp)
+"""
+    ),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-dedup mapped to turns: drop turns whose normalized text
+    occurs in >= 5 distinct conversations (canned boilerplate, empty
+    filler). Spark side anti-joins on the 8-byte xxhash64 key with the
+    Zipf-small boilerplate dim broadcast; the oracle compares on the
+    normalized text itself — identical result absent a 64-bit hash
+    collision, which the fixture does not contain."""
+    from data_harvesting_spark.operators.quality import boilerplate_turns
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return boilerplate_turns(t, min_convs=5)
+
+
+# ---------------------------------------------------------------- quality:
+# degenerate-loop detection (gaps-and-islands on consecutive same-tool runs)
+@register(
+    "tool_loops",
+    _with_t(
+        """
+, tool_turns AS (
+  SELECT conv_id, turn_idx, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM transcripts WHERE tool IS NOT NULL
+),
+isl AS (
+  SELECT conv_id, tool, turn_idx,
+         rn - ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+           AS grp
+  FROM tool_turns
+),
+runs AS (
+  SELECT conv_id, tool,
+         CAST(min(turn_idx) AS INT) AS run_start,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY conv_id, tool, grp
+)
+SELECT conv_id, tool, run_start, run_len
+FROM runs WHERE run_len >= 4
+"""
+    ),
+)
+def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-loop detection: maximal consecutive same-tool runs of
+    length >= 4 within a conversation (gaps-and-islands; the transcript
+    analog of the reference's consecutive-near-identical-emission concern,
+    `services/harvest_service.py:207-231`)."""
+    from data_harvesting_spark.operators.quality import degenerate_tool_runs
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return degenerate_tool_runs(t, min_run=4)

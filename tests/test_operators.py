@@ -804,3 +804,79 @@ def test_dedup_against_corpus_planted(spark):
         r["doc_id"] for r in dedup_against_corpus(inc, corpus2).collect()
     )
     assert kept2 == [12]
+
+
+def test_boilerplate_strip_oracle_and_plan(spark):
+    """C4-style turn-level boilerplate strip: matches the normalized-text
+    oracle, plans the Zipf-small boilerplate dim as a broadcast LeftAnti
+    join (corpus side never re-shuffles onto the text key), and drops the
+    ubiquitous empty-text filler turns."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["boilerplate_strip"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    keys = ["conv_id", "turn_idx"]
+    got = df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["boilerplate_strip"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert len(got) > 0
+    assert not (got["text"].str.strip() == "").any()
+
+
+def test_tool_loops_oracle_and_single_exchange(spark):
+    """Gaps-and-islands loop detection: matches the oracle and rides ONE
+    conv_id exchange — both row_number windows and the island aggregate
+    are satisfied by hashpartitioning(conv_id)."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["tool_loops"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    keys = ["conv_id", "tool", "run_start"]
+    got = df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["tool_loops"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert (got["run_len"] >= 4).all()
+    # the fixture's call+response pairing guarantees runs of >= 4 exist
+    assert len(got) > 0
+
+
+def test_tool_args_rollup_oracle_and_pruning(spark):
+    """JSON arg extraction stays JVM-side and the scan prunes to exactly
+    the three referenced columns; values match the DuckDB json oracle."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["tool_args_rollup"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    read_schema = scan.split("ReadSchema:")[1]
+    for col in ("event_id", "user_id", "ts:"):
+        assert col not in read_schema, scan
+
+    keys = ["event_type", "k_bucket"]
+    got = df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["tool_args_rollup"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
