@@ -250,3 +250,110 @@ def degenerate_tool_runs(
         .where(F.col("run_len") >= min_run)
         .select("conv_id", "tool", "run_start", "run_len")
     )
+
+
+def workflow_similarity(
+    transcripts: DataFrame,
+    *,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Behavioral near-dup detection: pairs of conversations whose TOOL
+    WORKFLOWS are similar — Jaccard over each conversation's set of
+    consecutive tool-call bigrams (tool A followed by tool B) at or above
+    ``threshold``. Complements text-level dedup: two agent sessions can
+    share no text yet follow the same degenerate tool loop worth
+    down-sampling before training.
+
+    Emits ``(conv_a, conv_b, inter, sz_a, sz_b, jaccard)``, conv_a < conv_b.
+
+    Scale posture: the bigram vocabulary is bounded (|tools|² values), so
+    a naive equi-join on bigram is quadratic THROUGH HOT KEYS (every
+    conversation shares the common bigrams). Instead, conversations are
+    first grouped by their exact bigram-SET signature (sorted array) and
+    the pairwise Jaccard join runs over DISTINCT signatures — quadratic in
+    min(#convs, #realized signatures), never through per-row hot keys,
+    with `array_intersect` computed JVM-side and one signature side
+    broadcast. How much the collapse buys depends on the corpus: workflows
+    that repeat exactly collapse hard (and identical-signature groups pair
+    at jaccard = 1.0 with no join at all); a corpus of all-unique
+    signatures (the sf0.01 fixture is one) degrades to a signature-level
+    all-pairs — the honest baseline, same posture as ``cosine_topk``. The
+    signature table is ``localCheckpoint``-ed so the corpus is derived
+    ONCE, not once per join branch. For unbounded vocabularies (text
+    shingles) signature collapsing stops helping — use the MinHash/LSH
+    family in ``operators/dedup.py`` instead.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = transcripts.where(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    bigrams = (
+        calls.withColumn("nxt", F.lead("tool").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("conv_id", F.concat_ws(">", "tool", "nxt").alias("bigram"))
+        .distinct()
+    )
+    sigs = bigrams.groupBy("conv_id").agg(
+        F.sort_array(F.collect_set("bigram")).alias("sig")
+    )
+    sig_groups = sigs.groupBy("sig").agg(
+        F.sort_array(F.collect_list("conv_id")).alias("members")
+    ).withColumn("sz", F.size("sig"))
+    # one row per distinct signature — small by this operator's premise;
+    # checkpoint so the three consumers below don't re-derive the corpus
+    sig_groups = sig_groups.localCheckpoint()
+
+    a = sig_groups.select(
+        F.col("sig").alias("sig_a"), F.col("members").alias("m_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sig_groups.select(
+        F.col("sig").alias("sig_b"), F.col("members").alias("m_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("sig_a", "sig_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    # cross-signature pairs at/above threshold (sig_a < sig_b lexically via
+    # the members' minimum conv — any total order on groups works)
+    cross = (
+        a.join(F.broadcast(b), F.expr("m_a[0] < m_b[0]"))
+        .where(jac >= threshold)
+        .select(
+            F.explode("m_a").alias("conv_a"), "m_b",
+            inter.alias("inter"), "sz_a", "sz_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .select(
+            "conv_a", F.explode("m_b").alias("conv_b"),
+            "inter", "sz_a", "sz_b", "jaccard",
+        )
+    )
+    # identical-signature pairs: jaccard 1.0, no join needed
+    same = (
+        sig_groups.where(F.size("members") > 1)
+        .select(
+            F.explode("members").alias("conv_a"), "members",
+            F.col("sz").alias("sz_a"),
+        )
+        .select(
+            "conv_a", F.explode("members").alias("conv_b"),
+            "sz_a",
+        )
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .select(
+            "conv_a", "conv_b", F.col("sz_a").alias("inter"),
+            "sz_a", F.col("sz_a").alias("sz_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(same)
+    return out.select(
+        F.least("conv_a", "conv_b").alias("conv_a"),
+        F.greatest("conv_a", "conv_b").alias("conv_b"),
+        "inter",
+        F.when(F.col("conv_a") < F.col("conv_b"), F.col("sz_a"))
+         .otherwise(F.col("sz_b")).alias("sz_a"),
+        F.when(F.col("conv_a") < F.col("conv_b"), F.col("sz_b"))
+         .otherwise(F.col("sz_a")).alias("sz_b"),
+        "jaccard",
+    )

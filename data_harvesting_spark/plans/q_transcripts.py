@@ -761,3 +761,112 @@ def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_transcripts_from_events(spark, sf_dir)
     return degenerate_tool_runs(t, min_run=4)
+
+
+# ---------------------------------------------------------------- quality:
+# behavioral near-dup — tool-workflow Jaccard between conversations
+@register(
+    "similar_workflows",
+    _with_t(
+        """
+, calls AS (
+  SELECT conv_id, turn_idx, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM transcripts WHERE role = 'assistant' AND tool IS NOT NULL
+),
+bg AS (
+  SELECT DISTINCT a.conv_id, a.tool || '>' || b.tool AS bigram
+  FROM calls a JOIN calls b
+    ON a.conv_id = b.conv_id AND b.rn = a.rn + 1
+),
+sz AS (SELECT conv_id, count(*) AS s FROM bg GROUP BY conv_id),
+inter AS (
+  SELECT a.conv_id AS ca, b.conv_id AS cb, count(*) AS i
+  FROM bg a JOIN bg b ON a.bigram = b.bigram AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT ca AS conv_a, cb AS conv_b,
+       CAST(i AS INT) AS inter,
+       CAST(sa.s AS INT) AS sz_a, CAST(sb.s AS INT) AS sz_b,
+       round(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.conv_id = ca
+JOIN sz sb ON sb.conv_id = cb
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.6
+"""
+    ),
+)
+def q_similar_workflows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral near-dup: conversation pairs with tool-call-bigram
+    Jaccard >= 0.6. The Spark side collapses conversations onto distinct
+    bigram-set signatures before the pairwise stage (bounded feature
+    vocabulary — never a hot-key quadratic join); the oracle is the plain
+    quadratic formulation."""
+    from data_harvesting_spark.operators.quality import workflow_similarity
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return workflow_similarity(t, threshold=0.6)
+
+
+# ---------------------------------------------------------------- rollup:
+# multi-level GROUPING SETS report (role × tool with subtotals)
+@register(
+    "harvest_rollup",
+    _with_t(
+        """
+SELECT role, tool,
+       CAST(GROUPING(role, tool) AS INT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n
+FROM transcripts GROUP BY ROLLUP(role, tool)
+"""
+    ),
+)
+def q_harvest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup report: per (role, tool) counts with per-role
+    subtotals and a grand total in ONE pass (GROUPING SETS — Spark expands
+    the rollup inside a single hash aggregate; `grouping_id` disambiguates
+    rolled-up NULLs from genuine NULL tools). The reference emits the same
+    shape as its nested run report (`utils/ReturnObject.py:24-63`)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select("role", "tool", "lvl", "n")
+    )
+
+
+# ---------------------------------------------------------------- pivot:
+# per-conversation role composition as columns
+@register(
+    "role_pivot",
+    _with_t(
+        """
+SELECT conv_id,
+       CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+       CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT)
+           AS n_assistant,
+       CAST(count(CASE WHEN role = 'tool' THEN 1 END) AS BIGINT) AS n_tool
+FROM transcripts GROUP BY conv_id
+"""
+    ),
+)
+def q_role_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-conversation role composition as wide columns
+    (`groupBy().pivot()` with the value list pinned — pinning skips the
+    extra distinct-values job AND keeps the one-pass hash-agg plan; the
+    oracle is the equivalent conditional aggregation)."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    p = (
+        t.groupBy("conv_id")
+        .pivot("role", ["user", "assistant", "tool"])
+        .count()
+    )
+    return p.select(
+        "conv_id",
+        F.coalesce("user", F.lit(0)).cast("bigint").alias("n_user"),
+        F.coalesce("assistant", F.lit(0)).cast("bigint").alias("n_assistant"),
+        F.coalesce("tool", F.lit(0)).cast("bigint").alias("n_tool"),
+    )

@@ -880,3 +880,98 @@ def test_tool_args_rollup_oracle_and_pruning(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_similar_workflows_oracle_and_fastpath(spark):
+    """Behavioral near-dup matches the quadratic oracle; identical
+    workflows take the no-join fast path at jaccard exactly 1.0."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.operators.quality import workflow_similarity
+    from data_harvesting_spark.plans import catalog
+
+    keys = ["conv_a", "conv_b"]
+    got = (
+        catalog.spark_queries()["similar_workflows"](spark, SF_ORACLE)
+        .toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    want = (
+        duck_on_sf(catalog.oracle_queries()["similar_workflows"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert (got["conv_a"] < got["conv_b"]).all()
+    assert got["jaccard"].between(0.6, 1.0).all()
+
+    # identical-signature fast path: two convs, same tool workflow
+    import datetime as dt
+
+    rows = []
+    for cid in ("c1", "c2"):
+        for i, tool in enumerate(["search", "python", "search"]):
+            rows.append(
+                (cid, i, "assistant", "t", tool,
+                 dt.datetime(2026, 1, 1, 0, 0, i))
+            )
+    tiny = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = workflow_similarity(tiny, threshold=0.6).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["jaccard"] == 1.0
+    assert (out.iloc[0]["conv_a"], out.iloc[0]["conv_b"]) == ("c1", "c2")
+
+
+def test_harvest_rollup_oracle_and_single_pass(spark):
+    """ROLLUP(role, tool) runs as ONE Expand + hash-agg pass (no union of
+    separate aggregations) and matches the DuckDB GROUPING oracle,
+    including the disambiguation of genuine NULL tools from rolled-up
+    rows via grouping_id."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["harvest_rollup"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    # exactly 2: the events→transcripts window exchange + ONE rollup agg
+    # exchange (the Expand feeds a single aggregate, not one per level)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Union" not in plan, plan
+
+    keys = ["lvl", "role", "tool"]
+    got = df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["harvest_rollup"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    # grand total row present exactly once and equals the row count
+    grand = got[got["lvl"] == 3]
+    assert len(grand) == 1
+    assert int(grand.iloc[0]["n"]) == int(got[got["lvl"] == 0]["n"].sum())
+
+
+def test_role_pivot_oracle_and_single_exchange(spark):
+    """Pinned-value pivot stays a single hash-agg pass (no distinct-values
+    pre-job, one exchange) and matches the conditional-agg oracle."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["role_pivot"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    got = df.toPandas().sort_values("conv_id").reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["role_pivot"], SF_ORACLE)
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert (got[["n_user", "n_assistant", "n_tool"]].sum(axis=1) > 0).all()
