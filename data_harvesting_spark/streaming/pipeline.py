@@ -320,6 +320,148 @@ def start_neardup_stream_job(
     return writer.start()
 
 
+def start_boilerplate_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    min_convs: int = 3,
+):
+    """Streaming-native C4 boilerplate filter: cross-micro-batch
+    frequency-based turn suppression — the streaming analog of
+    ``operators/quality.py::boilerplate_turns`` and the third member of
+    the streaming dedup family (exact ``start_dedup_stream_job``,
+    near-dup ``start_neardup_stream_job``).
+
+    Rule: a turn is dropped once its normalized-text hash has been seen
+    in ``min_convs`` DISTINCT conversations cumulatively (prior epochs'
+    ledger + the current batch). Earlier copies emitted before the text
+    crossed the threshold stay emitted — prefix-consistent by design (a
+    stream cannot retract); the retrospective batch operator re-run over
+    the full corpus is the ground truth for a backfill.
+
+    Ledger design (the Zipf-aware part): below the threshold the state is
+    the distinct ``(tkey, conv_id)`` pair set; the moment a text crosses
+    it, its pair rows COLLAPSE into one flag row ``(tkey, boiler=true)``
+    — exactly the texts that are most frequent carry the least state, so
+    ledger width is O(sub-threshold pairs in retention + flagged texts),
+    never O(turns seen). Rows carry a last-activity event time and evict
+    once the batch max event time passes ``cfg.cap_state_retention``
+    beyond it (a text going quiet for the whole retention restarts its
+    count by design — same trade as both sibling ledgers).
+
+    Exactly-once composition is the frozen-pre-state pattern
+    (``_read_cap_ledger``): epoch N reads snapshot N-1 and writes
+    snapshot N, so a replayed epoch recomputes identical output for the
+    idempotent epoch sink.
+    """
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
+
+    ledger_path = sink_path.rstrip("/") + ".textfreq"
+    retention_ms = int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
+    stream = read_transcript_stream(spark, source_dir)
+    out_cols = stream.columns
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        keyed = df.withColumn("tkey", text_hash("text")).persist()
+        try:
+            hi = keyed.agg(
+                F.unix_millis(F.max("ts")).alias("hi")
+            ).collect()[0][0]
+            pairs_b = keyed.groupBy("tkey", "conv_id").agg(
+                F.unix_millis(F.max("ts")).cast("long").alias("_new_ms")
+            )
+            prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+            if prior is not None:
+                boiler_prior = prior.where(F.col("boiler")).select(
+                    "tkey", "last_ms"
+                )
+                pair_prior = prior.where(~F.col("boiler")).select(
+                    "tkey", "conv_id", "last_ms"
+                )
+                all_pairs = pair_prior.join(
+                    pairs_b, ["tkey", "conv_id"], "full_outer"
+                ).select(
+                    "tkey",
+                    "conv_id",
+                    F.greatest("last_ms", "_new_ms").cast("long")
+                    .alias("last_ms"),
+                )
+            else:
+                boiler_prior = None
+                all_pairs = pairs_b.select(
+                    "tkey", "conv_id", F.col("_new_ms").alias("last_ms")
+                )
+            # the pair state feeds both the recount and the snapshot —
+            # persist so the full_outer against the prior ledger runs once
+            all_pairs = all_pairs.persist()
+            counts = all_pairs.groupBy("tkey").agg(
+                F.count("*").alias("n"),
+                F.max("last_ms").cast("long").alias("last_ms"),
+            )
+            cand = counts.where(F.col("n") >= min_convs).select(
+                "tkey", "last_ms"
+            )
+            if boiler_prior is not None:
+                # refresh flag activity from this batch, keep old flags
+                refresh = counts.join(
+                    boiler_prior.select("tkey"), "tkey", "left_semi"
+                ).select("tkey", "last_ms")
+                cand = cand.unionByName(boiler_prior).unionByName(refresh)
+            # flag table is Zipf-small (boilerplate texts only): persist +
+            # BROADCAST into both anti-joins so neither the batch nor the
+            # pair state re-shuffles onto tkey just to subtract flags
+            boiler_all = cand.groupBy("tkey").agg(
+                F.max("last_ms").cast("long").alias("last_ms")
+            ).persist()
+
+            kept = keyed.join(
+                F.broadcast(boiler_all.select("tkey")), "tkey", "left_anti"
+            ).select(*out_cols)
+            write_epoch(kept, epoch_id, sink_path)
+
+            pair_rows = all_pairs.join(
+                F.broadcast(boiler_all.select("tkey")), "tkey", "left_anti"
+            ).select(
+                "tkey", "conv_id", "last_ms", F.lit(False).alias("boiler")
+            )
+            flag_rows = boiler_all.select(
+                "tkey",
+                F.lit(None).cast("string").alias("conv_id"),
+                "last_ms",
+                F.lit(True).alias("boiler"),
+            )
+            snapshot = pair_rows.unionByName(flag_rows)
+            if hi is not None:
+                snapshot = snapshot.where(
+                    F.col("last_ms") + retention_ms >= F.lit(hi)
+                )
+            snapshot.coalesce(8).write.mode("overwrite").parquet(
+                os.path.join(ledger_path, f"_epoch={epoch_id}")
+            )
+            all_pairs.unpersist()
+            boiler_all.unpersist()
+            _prune_cap_ledger(ledger_path, epoch_id)
+        finally:
+            keyed.unpersist()
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_training_export_stream_job(
     spark: SparkSession,
     source_dir: str,

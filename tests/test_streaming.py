@@ -1683,3 +1683,216 @@ def test_min_gate_pending_kill_and_resume(spark, multisession_batches, tmp_path)
     cols = ["conv_id", "window_start", "example_idx", "call_turn_idx",
             "response_turn_idx", "tool", "call_text", "response_text"]
     pd.testing.assert_frame_equal(_canon(got[cols]), _canon(want[cols]))
+
+
+_BP = "please run the standard diagnostic"
+
+
+@pytest.fixture(scope="module")
+def boilerplate_batches(tmp_path_factory):
+    """A canned text spreading across conversations in successive
+    micro-batches: 1 conv in batch 0, two more in batch 1 (crossing
+    min_convs=3 there), a fourth in batch 2 — plus unique texts that must
+    always survive. Arrival order is consistent with event time."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    files = [
+        [("b1", 0, "user", _BP, None, base),
+         ("b1", 1, "assistant", "unique alpha", "search",
+          base + pd.Timedelta(seconds=10))],
+        [("b2", 0, "user", _BP, None, base + pd.Timedelta(minutes=2)),
+         ("b3", 0, "user", _BP, None, base + pd.Timedelta(minutes=3))],
+        [("b4", 0, "user", _BP, None, base + pd.Timedelta(minutes=5)),
+         ("b4", 1, "user", "unique beta", None,
+          base + pd.Timedelta(minutes=6))],
+    ]
+    d = tmp_path_factory.mktemp("boilerplate_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _latest_ledger(spark, ledger_path: str):
+    epochs = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(ledger_path)
+        if n.startswith("_epoch=")
+    )
+    return spark.read.parquet(
+        os.path.join(ledger_path, f"_epoch={epochs[-1]}")
+    )
+
+
+def test_boilerplate_stream_prefix_consistent_and_sound(
+    spark, boilerplate_batches, tmp_path
+):
+    """The streamed filter drops every copy from the epoch where the text
+    crosses min_convs onward, keeps the pre-threshold prefix, and is SOUND
+    vs the retrospective batch operator: everything the stream drops, the
+    batch rule drops too (the batch additionally retracts the prefix)."""
+    from data_harvesting_spark.operators.quality import boilerplate_turns
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_boilerplate_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_boilerplate_stream_job(
+        spark, boilerplate_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, min_convs=3,
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    # prefix copy emitted before the text was boilerplate stays emitted
+    assert ("b1", 0) in keys
+    # the crossing batch and everything after is suppressed
+    assert ("b2", 0) not in keys and ("b3", 0) not in keys
+    assert ("b4", 0) not in keys
+    # unique texts always survive
+    assert ("b1", 1) in keys and ("b4", 1) in keys
+
+    src = spark.read.parquet(boilerplate_batches + "/*.parquet")
+    batch_kept = {
+        (r.conv_id, r.turn_idx)
+        for r in boilerplate_turns(src, min_convs=3).collect()
+    }
+    all_keys = {(r.conv_id, r.turn_idx) for r in src.collect()}
+    # soundness: stream-dropped ⊆ batch-dropped, batch-kept ⊆ stream-kept
+    assert (all_keys - keys) <= (all_keys - batch_kept)
+    assert batch_kept <= keys
+    # and the two differ exactly by the pre-threshold prefix
+    assert keys - batch_kept == {("b1", 0)}
+
+
+def test_boilerplate_stream_ledger_collapses(
+    spark, boilerplate_batches, tmp_path
+):
+    """Zipf-aware state: once a text crosses the threshold its per-conv
+    pair rows collapse into ONE flag row — the hottest texts carry the
+    least ledger state."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_boilerplate_stream_job,
+    )
+
+    cfg = _cfg(str(tmp_path))
+    q = start_boilerplate_stream_job(
+        spark, boilerplate_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, min_convs=3,
+    )
+    drain(q)
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".textfreq")
+    pdf = led.toPandas()
+    flags = pdf[pdf["boiler"]]
+    assert len(flags) == 1          # exactly the one canned text
+    assert flags["conv_id"].isna().all()
+    # no pair rows survive for the flagged key
+    assert not (
+        (pdf["tkey"].isin(flags["tkey"])) & (~pdf["boiler"])
+    ).any()
+    # unique texts remain as pair rows (one per (text, conv))
+    assert (~pdf["boiler"]).sum() == 2
+
+
+def test_boilerplate_stream_kill_and_resume(
+    spark, boilerplate_batches, tmp_path
+):
+    """W7 on the boilerplate-filtered stream: stop mid-input, resume from
+    the checkpoint — the final output equals the uninterrupted run (the
+    frozen-pre-state frequency ledger replays idempotently)."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_boilerplate_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_boilerplate_stream_job(
+        spark, boilerplate_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, min_convs=3,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_boilerplate_stream_job(
+        spark, boilerplate_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, min_convs=3,
+    )
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert keys == {("b1", 0), ("b1", 1), ("b4", 1)}
+    # exactly-once: no duplicated rows either
+    assert len(got) == 3
+
+
+def test_boilerplate_stream_retention_restarts_count(spark, tmp_path):
+    """A text quiet for the whole retention is evicted from the ledger and
+    restarts its distinct-conversation count — bounded state, documented
+    re-admission trade."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_boilerplate_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    files = [
+        # crosses min_convs=3 immediately: all three copies dropped
+        [("c1", 0, "user", _BP, None, base),
+         ("c2", 0, "user", _BP, None, base + pd.Timedelta(seconds=1)),
+         ("c3", 0, "user", _BP, None, base + pd.Timedelta(seconds=2))],
+        # unrelated activity 6h later — past the 1h retention, the flag
+        # (last activity at ~t0) evicts when this snapshot is written
+        [("q1", 0, "user", "quiet unrelated", None,
+          base + pd.Timedelta(hours=6))],
+        # the canned text returns: count restarted, so it is KEPT
+        [("c9", 0, "user", _BP, None,
+          base + pd.Timedelta(hours=6, minutes=5))],
+    ]
+    d = tmp_path / "src"
+    d.mkdir()
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+
+    cfg = _cfg(str(tmp_path), cap_state_retention="1 hour")
+    q = start_boilerplate_stream_job(
+        spark, str(d), cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, min_convs=3,
+    )
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    keys = {(r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert ("c1", 0) not in keys and ("c2", 0) not in keys
+    assert ("c3", 0) not in keys
+    assert ("q1", 0) in keys
+    assert ("c9", 0) in keys    # readmitted after eviction
