@@ -870,3 +870,72 @@ def q_role_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("assistant", F.lit(0)).cast("bigint").alias("n_assistant"),
         F.coalesce("tool", F.lit(0)).cast("bigint").alias("n_tool"),
     )
+
+
+# ---------------------------------------------------------------- export:
+# SFT context→target pair extraction (framed ordered aggregation)
+@register(
+    "sft_pairs",
+    _with_t(
+        """
+, ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, CHR(10))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, context, text AS target
+FROM ctx
+WHERE role = 'assistant' AND length(trim(text)) > 0
+  AND context IS NOT NULL
+"""
+    ),
+)
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-pair extraction: for every non-empty assistant turn,
+    the concatenation of up to 3 preceding turns (sliding row frame) as
+    context, the turn text as target — the last-mile export a fine-tuning
+    pipeline runs after curation (reference's image+label pair export,
+    `exports/yolov8/yolov8_export.py:63-90`, re-expressed for text).
+
+    Plan: the framed collect rides the SAME conv_id exchange as the
+    transcript derivation (one extra sort, zero extra shuffles). The
+    collected structs are sort_array'ed before joining, so the context
+    string is deterministic regardless of frame evaluation order."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-3, -1)
+    )
+    ctx_arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("ti"),
+                F.concat_ws(": ", "role", "text").alias("line"),
+            )
+        ).over(w)
+    )
+    out = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        ctx_arr.alias("ctx_arr"),
+    )
+    return (
+        out.where(
+            (F.col("role") == "assistant")
+            & (F.length(F.trim("text")) > 0)
+            & (F.size("ctx_arr") > 0)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(
+                F.transform("ctx_arr", lambda s: s["line"]), "\n"
+            ).alias("context"),
+            F.col("text").alias("target"),
+        )
+    )

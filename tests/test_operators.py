@@ -975,3 +975,28 @@ def test_role_pivot_oracle_and_single_exchange(spark):
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
     assert (got[["n_user", "n_assistant", "n_tool"]].sum(axis=1) > 0).all()
+
+
+def test_sft_pairs_oracle_and_plan(spark):
+    """SFT context→target extraction matches the framed string_agg oracle;
+    the framed collect rides the derivation's conv_id exchange (one
+    exchange total) and every context holds 1–3 preceding lines."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["sft_pairs"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    keys = ["conv_id", "turn_idx"]
+    got = df.toPandas().sort_values(keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["sft_pairs"], SF_ORACLE)
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    n_lines = got["context"].str.count("\n") + 1
+    assert n_lines.between(1, 3).all()
+    assert (got["target"].str.strip() != "").all()
