@@ -74,12 +74,20 @@ def run_headline() -> dict:
     # first timed query isn't charged one-time startup cost
     _noop_write(qs["tpch_q1"](spark, sf_dir))
 
+    # best-of-2 per query: the box's bursty hypervisor steal (BENCH.md
+    # "Method") can double any single pass; two interleaved passes with a
+    # per-query minimum estimate steady-state the same way the scaling
+    # protocol's interleaved rounds do. Plans are identical across passes
+    # (same session, same query objects), so this is noise damping only.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        _noop_write(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            _noop_write(fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     # curated-turns/sec: input transcript turns / flagship wall time
     # (BASELINE.json metric). Input size measured once, outside the timing.
