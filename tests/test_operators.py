@@ -1000,3 +1000,33 @@ def test_sft_pairs_oracle_and_plan(spark):
     n_lines = got["context"].str.count("\n") + 1
     assert n_lines.between(1, 3).all()
     assert (got["target"].str.strip() != "").all()
+
+
+def test_quality_operators_degenerate_inputs(spark):
+    """Empty and single-conversation inputs: the new quality operators
+    return empty results cleanly (no checkpoint/window/aggregate crash),
+    and a conversation with zero tool calls contributes nothing."""
+    from data_harvesting_spark.operators.quality import (
+        boilerplate_turns,
+        degenerate_tool_runs,
+        workflow_similarity,
+    )
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    assert boilerplate_turns(empty).count() == 0
+    assert degenerate_tool_runs(empty).count() == 0
+    assert workflow_similarity(empty).count() == 0
+
+    import datetime as dt
+
+    solo = spark.createDataFrame(
+        [("only", 0, "user", "hello", None, dt.datetime(2026, 1, 1)),
+         ("only", 1, "assistant", "hi", None,
+          dt.datetime(2026, 1, 1, 0, 0, 5))],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    # nothing repeats across conversations; no tools anywhere
+    assert boilerplate_turns(solo).count() == 2
+    assert degenerate_tool_runs(solo).count() == 0
+    assert workflow_similarity(solo).count() == 0
