@@ -23,6 +23,7 @@ A sink-format registry dispatches by name (reference factory pattern,
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -53,10 +54,118 @@ def write_epoch(df: DataFrame, epoch_id: int, sink_path: str) -> None:
 
 
 def read_epoch_sink(spark: SparkSession, sink_path: str) -> DataFrame:
+    _recover_compaction(sink_path)
     df = spark.read.option("basePath", sink_path).parquet(
         os.path.join(sink_path, "_epoch=*")
     )
     return df.drop("_epoch")
+
+
+# ---------------------------------------------------------------- compaction
+# Long-running streams accumulate one _epoch=N directory per micro-batch —
+# the classic lakehouse small-file problem (Iceberg's rewrite_data_files /
+# the reference's dataset re-versioning, `exports/yolov8/yolov8_export.py:
+# 40-52`). compact_epochs folds settled epochs into one consolidated
+# directory, crash-safely, without touching the epochs that could still be
+# replayed from the checkpoint.
+
+_COMPACT_MARKER = ".compacting"
+
+
+def _recover_compaction(sink_path: str) -> None:
+    """Roll the sink out of an interrupted compaction.
+
+    Protocol (``compact_epochs``): (1) stage the consolidated directory
+    under ``<sink>.compact.tmp`` — the sink itself is untouched; (2) write
+    the ``.compacting`` marker naming the source dirs and the destination;
+    (3) remove the source dirs; (4) move the staged dir in; (5) remove the
+    marker. Every crash window resolves without row loss or duplication:
+
+    - no marker → any ``.compact.tmp`` is pre-commit leftover; delete it.
+    - marker + staged dir present → sources may be partially removed, the
+      staged dir holds ALL their rows: finish removals, move it in.
+    - marker + destination already in the sink → finish removals, clean up.
+    """
+    marker = os.path.join(sink_path, _COMPACT_MARKER)
+    tmp_root = sink_path.rstrip("/") + ".compact.tmp"
+    if not os.path.isfile(marker):
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return
+    with open(marker) as f:
+        state = json.load(f)
+    staged = os.path.join(tmp_root, state["dest"])
+    dest = os.path.join(sink_path, state["dest"])
+    if os.path.isdir(staged) or os.path.isdir(dest):
+        for name in state["remove"]:
+            shutil.rmtree(os.path.join(sink_path, name), ignore_errors=True)
+        if not os.path.isdir(dest):
+            os.rename(staged, dest)
+    os.remove(marker)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def compact_epochs(
+    spark: SparkSession,
+    sink_path: str,
+    keep_last: int = 2,
+    target_partitions: int = 8,
+) -> str | None:
+    """Fold settled epoch directories (and any previous consolidation) into
+    ONE ``_epoch=compact-<hi>`` directory of ``target_partitions`` files.
+
+    The newest ``keep_last`` numeric epochs are NEVER touched — only the
+    final uncommitted epoch can be replayed after a crash, so anything
+    older is immutable and safe to fold (``keep_last=2`` leaves a margin).
+    Rows keep their embedded ``_epoch`` data column, so per-row provenance
+    survives consolidation. Row multiset is preserved exactly; only the
+    file layout changes. Single-writer maintenance, same assumption as the
+    merge sink; crash-safe via ``_recover_compaction`` (marker protocol
+    above — the staged directory holds every source row before any source
+    is removed).
+
+    Returns the consolidated directory name, or None if fewer than two
+    sources are eligible. At 100 TB this is the job that keeps a year-old
+    stream's file count O(compactions + recent epochs), not O(epochs ever
+    committed) — the parquet stand-in for Iceberg ``rewrite_data_files``.
+    """
+    _recover_compaction(sink_path)
+    if not os.path.isdir(sink_path):
+        return None
+    numeric, compacts = [], []
+    for name in os.listdir(sink_path):
+        if not name.startswith("_epoch="):
+            continue
+        val = name.split("=", 1)[1]
+        if val.isdigit():
+            numeric.append(int(val))
+        elif val.startswith("compact-"):
+            compacts.append(name)
+    numeric.sort()
+    fold = numeric[: max(0, len(numeric) - keep_last)]
+    sources = [f"_epoch={n}" for n in fold] + sorted(compacts)
+    if len(sources) < 2:
+        return None
+    dest_name = f"_epoch=compact-{fold[-1] if fold else '0'}"
+    if dest_name in sources:  # nothing new since the last consolidation
+        return None
+
+    tmp_root = sink_path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    # no basePath: the source dirs are read as leaves, so the embedded
+    # _epoch DATA column is the only _epoch — no partition-column twin
+    df = spark.read.parquet(*[os.path.join(sink_path, s) for s in sources])
+    staged = os.path.join(tmp_root, dest_name)
+    df.coalesce(target_partitions).write.mode("overwrite").parquet(staged)
+
+    marker = os.path.join(sink_path, _COMPACT_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"remove": sources, "dest": dest_name}, f)
+    for name in sources:
+        shutil.rmtree(os.path.join(sink_path, name), ignore_errors=True)
+    os.rename(staged, os.path.join(sink_path, dest_name))
+    os.remove(marker)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return dest_name
 
 
 def _recover_buckets(sink_path: str) -> None:

@@ -1896,3 +1896,133 @@ def test_boilerplate_stream_retention_restarts_count(spark, tmp_path):
     assert ("c3", 0) not in keys
     assert ("q1", 0) in keys
     assert ("c9", 0) in keys    # readmitted after eviction
+
+
+def _write_toy_epochs(spark, sink, n_epochs):
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    for ep in range(n_epochs):
+        df = spark.range(ep * 10, ep * 10 + 10).select(
+            F.col("id"), F.lit(f"e{ep}").alias("tag")
+        )
+        write_epoch(df, ep, sink)
+
+
+def test_compact_epochs_preserves_rows_and_layout_contract(spark, tmp_path):
+    """Epoch compaction (the rewrite_data_files analog): exact row-multiset
+    preservation incl. per-row _epoch provenance, file count shrinks, the
+    keep_last replayable epochs are untouched byte-for-byte, repeated
+    compaction folds the previous consolidation, and a no-new-work call is
+    a no-op."""
+    import glob
+
+    from data_harvesting_spark.streaming.sink import (
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    _write_toy_epochs(spark, sink, 6)
+    before = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    protected = {
+        d: sorted(os.listdir(os.path.join(sink, d)))
+        for d in ("_epoch=4", "_epoch=5")
+    }
+    n_before = len(glob.glob(sink + "/_epoch=*/*.parquet"))
+
+    dest = compact_epochs(spark, sink, keep_last=2, target_partitions=2)
+    assert dest == "_epoch=compact-3"
+    after = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+    assert len(glob.glob(sink + "/_epoch=*/*.parquet")) < n_before
+    for d, files in protected.items():
+        assert sorted(os.listdir(os.path.join(sink, d))) == files
+
+    # idempotent: nothing new to fold
+    assert compact_epochs(spark, sink, keep_last=2) is None
+
+    # generational re-fold after more epochs
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    for ep in range(6, 9):
+        df = spark.range(ep * 10, ep * 10 + 10).select(
+            F.col("id"), F.lit(f"e{ep}").alias("tag")
+        )
+        write_epoch(df, ep, sink)
+    assert compact_epochs(spark, sink, keep_last=2) == "_epoch=compact-6"
+    final = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    assert len(final) == 90
+    assert sorted(
+        d for d in os.listdir(sink) if d.startswith("_epoch=")
+    ) == ["_epoch=7", "_epoch=8", "_epoch=compact-6"]
+
+
+def test_compact_epochs_crash_windows(spark, tmp_path):
+    """Every interruption window of the marker protocol resolves without
+    row loss or duplication: (a) crash right after the marker was written
+    (staged dir complete, sources still present); (b) crash mid-removal;
+    (c) crash after the move with the marker left behind."""
+    import json
+
+    from data_harvesting_spark.streaming.sink import (
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    def build(tag):
+        sink = str(tmp_path / f"sink_{tag}")
+        _write_toy_epochs(spark, sink, 5)
+        want = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+        # stage exactly what compact_epochs would: sources 0..2 → compact-2
+        sources = ["_epoch=0", "_epoch=1", "_epoch=2"]
+        tmp_root = sink + ".compact.tmp"
+        staged = os.path.join(tmp_root, "_epoch=compact-2")
+        df = spark.read.parquet(*[os.path.join(sink, s) for s in sources])
+        df.coalesce(2).write.mode("overwrite").parquet(staged)
+        with open(os.path.join(sink, ".compacting"), "w") as f:
+            json.dump({"remove": sources, "dest": "_epoch=compact-2"}, f)
+        return sink, sources, tmp_root, want
+
+    import shutil
+
+    # (a) marker written, nothing removed yet
+    sink, _, _, want = build("a")
+    got = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert not os.path.exists(os.path.join(sink, ".compacting"))
+
+    # (b) crash mid-removal: one source already gone
+    sink, sources, _, want = build("b")
+    shutil.rmtree(os.path.join(sink, sources[0]))
+    got = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    # (c) crash after the move, marker + empty tmp left behind
+    sink, sources, tmp_root, want = build("c")
+    for s in sources:
+        shutil.rmtree(os.path.join(sink, s))
+    os.rename(
+        os.path.join(tmp_root, "_epoch=compact-2"),
+        os.path.join(sink, "_epoch=compact-2"),
+    )
+    got = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert not os.path.exists(os.path.join(sink, ".compacting"))
+
+    # only one foldable source remains → correctly a no-op ...
+    assert compact_epochs(spark, sink, keep_last=2) is None
+    # ... until new epochs settle, then the recovered sink folds again
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    for ep in (5, 6):
+        df = spark.range(ep * 10, ep * 10 + 10).select(
+            F.col("id"), F.lit(f"e{ep}").alias("tag")
+        )
+        write_epoch(df, ep, sink)
+    assert compact_epochs(spark, sink, keep_last=2) == "_epoch=compact-4"
