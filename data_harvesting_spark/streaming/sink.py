@@ -165,6 +165,22 @@ def compact_epochs(
     os.rename(staged, os.path.join(sink_path, dest_name))
     os.remove(marker)
     shutil.rmtree(tmp_root, ignore_errors=True)
+
+    # keep the lineage audit map complete: the folded epochs' file records
+    # now point at directories this consolidation replaced
+    dest_dir = os.path.join(sink_path, dest_name)
+    n_files = sum(
+        1 for f in os.listdir(dest_dir) if f.endswith(".parquet")
+    )
+    import time as _time
+
+    with open(os.path.join(sink_path, "_lineage.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "compaction": dest_name,
+            "folded": sources,
+            "n_files": n_files,
+            "ts": _time.time(),
+        }) + "\n")
     return dest_name
 
 

@@ -1940,6 +1940,16 @@ def test_compact_epochs_preserves_rows_and_layout_contract(spark, tmp_path):
     for d, files in protected.items():
         assert sorted(os.listdir(os.path.join(sink, d))) == files
 
+    # the audit map records the fold
+    import json as _json
+
+    with open(os.path.join(sink, "_lineage.jsonl")) as f:
+        recs = [_json.loads(l) for l in f]
+    folds = [r for r in recs if r.get("compaction") == "_epoch=compact-3"]
+    assert len(folds) == 1 and folds[0]["folded"] == [
+        "_epoch=0", "_epoch=1", "_epoch=2", "_epoch=3"
+    ]
+
     # idempotent: nothing new to fold
     assert compact_epochs(spark, sink, keep_last=2) is None
 
