@@ -71,6 +71,29 @@ WHERE NOT (turn_idx % 4 = 2 AND event_id % 19 = 0)
 """
 
 
+# Reward-carrying variant: identical derivation, but the source event's
+# ``value`` column rides along as a per-turn reward signal (the preference
+# score a DPO/RLHF extraction ranks on). Built by targeted substitution so
+# the two variants can never drift on the shared rules; a unit test pins
+# column-for-column equality on the common columns.
+TRANSCRIPTS_WITH_VALUE_SQL = TRANSCRIPTS_FROM_EVENTS_SQL.replace(
+    "    conv_id, turn_idx, event_id, ts,\n    CASE WHEN turn_idx % 4 = 0",
+    "    conv_id, turn_idx, event_id, ts, value,\n"
+    "    CASE WHEN turn_idx % 4 = 0",
+).replace(
+    "SELECT conv_id, turn_idx, role, text, tool,",
+    "SELECT conv_id, turn_idx, role, text, tool, value,",
+)
+
+assert "value,\n    CASE" in TRANSCRIPTS_WITH_VALUE_SQL
+assert "tool, value," in TRANSCRIPTS_WITH_VALUE_SQL
+
+
+def transcripts_with_value_sql(events_rel: str = "events") -> str:
+    """SQL for the reward-carrying transcript view (adds ``value``)."""
+    return TRANSCRIPTS_WITH_VALUE_SQL.format(events=events_rel)
+
+
 def transcripts_sql(events_rel: str = "events") -> str:
     """SQL producing the transcript view; ``events_rel`` is the relation name
     (a registered view in both engines)."""

@@ -5,7 +5,7 @@ driver's ``documents`` / ``embeddings`` views.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_harvesting_spark.plans.catalog import register
@@ -1255,3 +1255,88 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return contamination_stats(docs)
+
+
+# Percentile length-band filter — the "drop the length-outlier tails"
+# quality gate (too-short docs are fragments, too-long docs are dumps).
+# PERCENT_RANK is (rank-1)/(n-1): exact integer rank arithmetic over a
+# deterministic order, then one IEEE-754 double division — bit-identical
+# cross-engine, unlike percentile interpolation semantics.
+_LENBAND_SQL = """
+WITH pr AS (
+  SELECT doc_id, lang, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM pr
+WHERE pr >= 0.05 AND pr <= 0.95
+"""
+
+
+@register("doc_length_band", _LENBAND_SQL)
+def q_doc_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile band filter: keep docs whose length sits
+    in the [p5, p95] band of their language — the distribution-relative
+    outlier gate (absolute thresholds miscalibrate across languages and
+    sources). One exchange on lang; ties share a percent_rank so the cut
+    is order-independent.
+
+    100 TB posture: this exact path sorts each language's lengths (the
+    window). At scale, compute per-lang thresholds with
+    ``percentile_approx(n_chars, [0.05, 0.95])`` (a tiny hash agg),
+    broadcast the per-lang threshold row back, and filter — same band up
+    to the sketch's rank error, zero sort. The exact window form is kept
+    here because the oracle must agree to the row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .where((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# Exact-k uniform per-group sample — "give me exactly 50 uniformly-chosen
+# docs per language" (rate sampling can't hit an exact count; reservoir
+# sampling isn't replay-stable). Hash-rank = a deterministic uniform
+# permutation; the first k of it are an exact-k uniform sample.
+_GROUPK_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn
+FROM r
+WHERE rn <= 50
+"""
+
+
+@register("group_sample_k", _GROUPK_SQL)
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic uniform sample per group (k=50 per lang):
+    rank docs by a cross-engine hash of their id inside each language and
+    keep the first k — replay-stable, order-independent, and exactly k
+    rows per group with >= k members (unlike rate sampling). md5 is the
+    portable oracle hash; the scale path swaps in xxhash64.
+
+    100 TB posture: one exchange on lang, then a per-group sort. For a
+    huge majority group, pre-filter with a hash threshold sized to keep
+    ~4k candidates (P[miss] negligible by Chernoff), then exact-rank the
+    survivors — two cheap passes instead of one giant sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 50)
+    )

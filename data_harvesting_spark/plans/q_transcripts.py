@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_harvesting_spark.derive import load_transcripts_from_events, transcripts_sql
+from data_harvesting_spark.derive import (
+    load_transcripts_from_events,
+    transcripts_sql,
+    transcripts_with_value_sql,
+)
 from data_harvesting_spark.plans.catalog import register
 
 _T = transcripts_sql("events")
@@ -937,5 +941,111 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("ctx_arr", lambda s: s["line"]), "\n"
             ).alias("context"),
             F.col("text").alias("target"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- export:
+# DPO preference-pair extraction (reward-ranked chosen/rejected per task)
+_TV = transcripts_with_value_sql("events")
+
+_DPO_SQL = f"""
+WITH transcripts AS ({_TV}),
+cand AS (
+  SELECT conv_id, turn_idx, text,
+         LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS reward
+  FROM transcripts
+),
+scored AS (
+  SELECT conv_id, turn_idx, text, tool, reward
+  FROM cand
+  WHERE turn_idx % 4 = 3 AND tool IS NOT NULL
+    AND reward IS NOT NULL AND length(trim(text)) > 0
+),
+ranked AS (
+  SELECT conv_id, turn_idx, text, tool, reward,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tool
+              ORDER BY reward DESC, conv_id, turn_idx) AS INT) AS rn,
+         COUNT(*) OVER (PARTITION BY tool) AS n
+  FROM scored
+)
+SELECT r.tool,
+       c.conv_id AS chosen_conv,  c.turn_idx AS chosen_turn,
+       c.text    AS chosen_text,  c.reward   AS chosen_reward,
+       r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn,
+       r.text    AS rejected_text, r.reward   AS rejected_reward
+FROM ranked c
+JOIN ranked r ON c.tool = r.tool
+WHERE c.rn = 1 AND r.rn = r.n AND r.n >= 2 AND c.reward > r.reward
+"""
+
+
+@register("dpo_pairs", _DPO_SQL)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair extraction: for every task tool, rank the
+    wrap-up assistant turns (the turn after the tool response) by the
+    event's reward signal; emit (chosen = best, rejected = worst) with a
+    strict reward gap — the best-of-n preference export a post-training
+    pipeline runs after curation. The reward rides the shared derivation
+    via ``transcripts_with_value_sql`` so both engines score identically
+    (FLOOR-integerized: no float value-hash flakes, no half-even
+    rounding divergence).
+
+    Plan: the LAG window rides the derivation's conv_id exchange (zero
+    extra shuffles to score candidates); chosen and rejected then come
+    from ONE ``min_by``/``max_by`` hash aggregation on tool — a
+    declarative aggregate, so Spark partial-aggregates map-side and the
+    tool exchange moves at most 2 candidate rows per tool per input
+    partition. No join, no per-tool sort: a hot tool costs O(its rows)
+    scanned, O(1) shuffled — the shape that survives 100 TB with a
+    handful of giant tools. (The oracle keeps the equivalent window
+    formulation; the tie-break key (-reward, conv_id, turn_idx) is the
+    same total order, and it is duplicate-free, so both pick identical
+    rows.)"""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    t = spark.sql(transcripts_with_value_sql("events"))
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cand = t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.lag("tool").over(w_conv).alias("tool"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("reward"),
+    )
+    scored = cand.where(
+        (F.col("turn_idx") % 4 == 3)
+        & F.col("tool").isNotNull()
+        & F.col("reward").isNotNull()
+        & (F.length(F.trim("text")) > 0)
+    )
+    payload = F.struct("conv_id", "turn_idx", "text", "reward")
+    order_key = F.struct(
+        (-F.col("reward")).alias("neg_reward"),
+        F.col("conv_id").alias("conv_id"),
+        F.col("turn_idx").alias("turn_idx"),
+    )
+    agg = scored.groupBy("tool").agg(
+        F.min_by(payload, order_key).alias("ch"),
+        F.max_by(payload, order_key).alias("rj"),
+        F.count("*").alias("n"),
+    )
+    return (
+        agg.where(
+            (F.col("n") >= 2)
+            & (F.col("ch.reward") > F.col("rj.reward"))
+        )
+        .select(
+            "tool",
+            F.col("ch.conv_id").alias("chosen_conv"),
+            F.col("ch.turn_idx").alias("chosen_turn"),
+            F.col("ch.text").alias("chosen_text"),
+            F.col("ch.reward").alias("chosen_reward"),
+            F.col("rj.conv_id").alias("rejected_conv"),
+            F.col("rj.turn_idx").alias("rejected_turn"),
+            F.col("rj.text").alias("rejected_text"),
+            F.col("rj.reward").alias("rejected_reward"),
         )
     )

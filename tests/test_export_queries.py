@@ -1,0 +1,111 @@
+"""Round-3 export/sampling catalog additions: DPO preference pairs,
+percentile length-band filter, exact-k per-group sampling — oracle parity,
+plan shape, and semantic invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF_ORACLE, duck_on_sf
+
+
+def _oracle_parity(spark, name, sort_keys):
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()[name](spark, SF_ORACLE)
+    # capture the plan pre-execution: after execution AQE's toString()
+    # prints Final Plan + Initial Plan and doubles every node count
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = df.toPandas().sort_values(sort_keys).reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()[name], SF_ORACLE)
+        .sort_values(sort_keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    return plan, got
+
+
+def test_derivation_value_variant_consistent():
+    """The reward-carrying transcript derivation is the base derivation
+    plus one column — the shared rules can never drift between the two."""
+    from data_harvesting_spark.derive import (
+        transcripts_sql,
+        transcripts_with_value_sql,
+    )
+
+    base = duck_on_sf(transcripts_sql("events"), SF_ORACLE)
+    withv = duck_on_sf(transcripts_with_value_sql("events"), SF_ORACLE)
+    assert list(withv.columns) == list(base.columns[:-1]) + ["value", "ts"]
+    keys = ["conv_id", "turn_idx"]
+    b = base.sort_values(keys).reset_index(drop=True)
+    v = withv[base.columns].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, v)
+    assert withv["value"].notna().any()
+
+
+def test_dpo_pairs_oracle_plan_and_semantics(spark):
+    """DPO extraction matches the windowed oracle; the Spark plan is the
+    join-free min_by/max_by form: exactly 2 exchanges (conv_id derivation
+    + tool aggregation), partial aggregation map-side, no join operator."""
+    plan, got = _oracle_parity(spark, "dpo_pairs", ["tool"])
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
+    assert "Join" not in plan, plan
+
+    assert len(got) > 0
+    assert got["tool"].is_unique
+    assert (got["chosen_reward"] > got["rejected_reward"]).all()
+    assert (
+        (got["chosen_conv"] != got["rejected_conv"])
+        | (got["chosen_turn"] != got["rejected_turn"])
+    ).all()
+    # candidates are wrap-up turns: the turn after a tool response
+    assert (got["chosen_turn"] % 4 == 3).all()
+    assert (got["rejected_turn"] % 4 == 3).all()
+
+
+def test_doc_length_band_oracle_plan_and_semantics(spark):
+    """[p5, p95] per-language length band matches the percent_rank oracle
+    on one lang exchange, and each language's global min/max lengths are
+    dropped whenever the language has enough distinct lengths to have
+    tails at all."""
+    plan, got = _oracle_parity(spark, "doc_length_band", ["doc_id"])
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    full = duck_on_sf(
+        "SELECT doc_id, lang, n_chars FROM documents", SF_ORACLE
+    )
+    assert 0 < len(got) < len(full)
+    for lang, grp in full.groupby("lang"):
+        kept = got[got["lang"] == lang]["n_chars"]
+        if len(grp) >= 40 and grp["n_chars"].nunique() >= 40:
+            assert kept.min() > grp["n_chars"].min()
+            assert kept.max() < grp["n_chars"].max()
+
+
+def test_group_sample_k_oracle_plan_and_semantics(spark):
+    """Exact-k per-group sample matches the md5-rank oracle, yields
+    exactly min(k, group size) rows per language with rn = 1..k, on one
+    exchange; the selection is a fixed subset — re-running yields the
+    identical doc_id set."""
+    plan, got = _oracle_parity(spark, "group_sample_k", ["lang", "rn"])
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    sizes = duck_on_sf(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang", SF_ORACLE
+    ).set_index("lang")["n"]
+    for lang, grp in got.groupby("lang"):
+        expect = min(50, int(sizes[lang]))
+        assert len(grp) == expect
+        assert sorted(grp["rn"]) == list(range(1, expect + 1))
+
+    from data_harvesting_spark.plans import catalog
+
+    again = (
+        catalog.spark_queries()["group_sample_k"](spark, SF_ORACLE)
+        .toPandas()
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
