@@ -1340,3 +1340,92 @@ def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 50)
     )
+
+
+# Mix-weight upsampling — "repeat under-represented sources N times per
+# epoch" (data mixing). The repeat is a generated column explode: a pure
+# flatmap riding the scan, no shuffle, no state; downstream consumers see
+# (doc, epoch_idx) rows they can interleave with shuffle_order.
+_MIX_SQL = """
+SELECT doc_id, lang,
+       CAST(UNNEST(generate_series(1,
+            CASE WHEN lang = 'en' THEN 1 ELSE 3 END)) AS INT) AS epoch_idx
+FROM documents
+"""
+
+
+@register("dataset_mix", _MIX_SQL)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mix-weight upsampling: majority language (en) kept at
+    1 copy, every other language repeated 3x — the repeat-factor data
+    mixing a pretraining pipeline applies to hit a target language share
+    with more than one epoch over the small sources. ``explode(sequence)``
+    is a generated-column flatmap: zero shuffle, zero state, replay-
+    stable, and composable with dataset_split / group_sample_k (the copy
+    index is explicit, so downstream exact dedup keys on (doc_id,
+    epoch_idx), not doc_id). At 100 TB this rides the scan; output
+    skew is bounded by the max repeat factor."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = F.when(F.col("lang") == "en", 1).otherwise(3)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), reps)).alias("epoch_idx"),
+    )
+
+
+# Reproducible global shuffle order — LLM training wants each epoch's
+# document order to be a fixed pseudorandom permutation (reshufflable by
+# changing the salt), not storage order and not an engine-dependent
+# accident. Rank over a portable hash IS that permutation.
+_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('ep1-' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+@register("shuffle_order", _SHUFFLE_SQL)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle position per doc (epoch salt 'ep1-'):
+    a reproducible uniform permutation assigning every document its
+    training-order slot — change the salt to reshuffle per epoch, rerun
+    anywhere to get the identical order.
+
+    A naive global ``ROW_NUMBER() OVER (ORDER BY hash)`` plans a single-
+    partition window — the one barrier that cannot survive 100 TB. This
+    implementation computes the SAME dense rank distributed: the hash's
+    first hex byte is a deterministic bucket (hash-uniform, 256-way; the
+    string order of the full hash equals (bucket, remainder) order), a
+    tiny 256-row aggregate + cumulative window yields each bucket's
+    global offset, and the final position is offset + row_number within
+    the bucket — one hash exchange on bucket for the big side, offsets
+    broadcast. Widen the bucket prefix to 2 bytes (65 536 buckets) when
+    a bucket's rows must fit a single task's sort at the target scale.
+    md5 is the portable oracle hash; the scale path swaps xxhash64."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(F.concat(F.lit("ep1-"), F.col("doc_id").cast("string")))
+    b = docs.select(
+        "doc_id", key.alias("k"), F.substring(key, 1, 2).alias("bkt")
+    )
+    counts = b.groupBy("bkt").agg(F.count("*").alias("n"))
+    # 256 rows: the single-partition cumulative window is bounded by the
+    # bucket alphabet, not the data
+    offsets = counts.select(
+        "bkt",
+        (F.sum("n").over(Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)) - F.col("n")
+         ).alias("off"),
+    )
+    w = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    return (
+        b.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off"))
+            .cast("bigint")
+            .alias("shuffle_pos"),
+        )
+    )

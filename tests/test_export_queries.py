@@ -109,3 +109,36 @@ def test_group_sample_k_oracle_plan_and_semantics(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_dataset_mix_oracle_plan_and_semantics(spark):
+    """Mix-weight upsampling matches the generate_series oracle with ZERO
+    exchanges (a generated-column flatmap riding the scan); en docs appear
+    once, every other language exactly 3 times with epoch_idx 1..3."""
+    plan, got = _oracle_parity(spark, "dataset_mix", ["doc_id", "epoch_idx"])
+    assert "Exchange" not in plan, plan
+
+    per_doc = got.groupby(["doc_id", "lang"])["epoch_idx"].agg(["count", "max"])
+    en = per_doc.xs("en", level="lang", drop_level=False)
+    rest = per_doc.drop(en.index)
+    assert (en["count"] == 1).all() and (en["max"] == 1).all()
+    assert (rest["count"] == 3).all() and (rest["max"] == 3).all()
+
+
+def test_shuffle_order_oracle_plan_and_semantics(spark):
+    """Distributed global dense rank matches the single-window oracle:
+    positions are exactly 1..n with no gaps, the plan has no unbounded
+    single-partition stage (the only SinglePartition exchange feeds the
+    256-row bucket-offset window), and the big side moves through one
+    bucket hash exchange + a broadcast join."""
+    plan, got = _oracle_parity(spark, "shuffle_order", ["doc_id"])
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the one SinglePartition exchange carries only the 256 bucket counts
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+    n = len(got)
+    assert sorted(got["shuffle_pos"]) == list(range(1, n + 1))
+    # permutation is hash-driven, not storage order
+    by_doc = got.sort_values("doc_id")["shuffle_pos"].tolist()
+    assert by_doc != sorted(by_doc)
