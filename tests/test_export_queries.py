@@ -142,3 +142,31 @@ def test_shuffle_order_oracle_plan_and_semantics(spark):
     # permutation is hash-driven, not storage order
     by_doc = got.sort_values("doc_id")["shuffle_pos"].tolist()
     assert by_doc != sorted(by_doc)
+
+
+def test_export_queries_degenerate_inputs(spark, tmp_path):
+    """Empty tables: every new export/sampling query returns an empty
+    result cleanly. One-row tables: the sampling ops keep the row, the
+    band gate drops it (percent_rank 0 < p5 — a 1-doc language has only
+    tail), and DPO finds no pair to prefer."""
+    from data_harvesting_spark.plans import catalog
+
+    from tests.conftest import SF_SMOKE
+
+    for table in ("documents", "events"):
+        full = spark.read.parquet(f"{SF_SMOKE}/{table}.parquet")
+        full.limit(0).write.parquet(str(tmp_path / "empty" / f"{table}.parquet"))
+        full.limit(1).write.parquet(str(tmp_path / "one" / f"{table}.parquet"))
+
+    qs = catalog.spark_queries()
+    new = ["dpo_pairs", "doc_length_band", "group_sample_k",
+           "dataset_mix", "shuffle_order"]
+    for name in new:
+        assert qs[name](spark, str(tmp_path / "empty")).count() == 0, name
+
+    one = str(tmp_path / "one")
+    assert qs["group_sample_k"](spark, one).count() == 1
+    assert qs["shuffle_order"](spark, one).toPandas()["shuffle_pos"].tolist() == [1]
+    assert qs["dataset_mix"](spark, one).count() in (1, 3)
+    assert qs["doc_length_band"](spark, one).count() == 0
+    assert qs["dpo_pairs"](spark, one).count() == 0
