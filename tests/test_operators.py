@@ -1030,3 +1030,27 @@ def test_quality_operators_degenerate_inputs(spark):
     assert boilerplate_turns(solo).count() == 2
     assert degenerate_tool_runs(solo).count() == 0
     assert workflow_similarity(solo).count() == 0
+
+
+def test_driver_window_covers_anchors():
+    """The external driver value-checks only the first DRIVER_WINDOW
+    registered queries; round 3's hard lesson was 15 anchor queries
+    silently rotating past it. Pin the policy: every front-listed query
+    (never-checked / changed-plan / flagship) sits inside the window, the
+    pinned name lists contain no typos, and the middle band leaves the
+    window budget unexceeded."""
+    from data_harvesting_spark.plans import catalog
+
+    names = list(catalog.spark_queries())
+    assert set(catalog._WINDOW_FRONT) <= set(names)
+    assert set(catalog._WINDOW_TAIL) <= set(names)
+    window = names[: catalog.DRIVER_WINDOW]
+    missing = [n for n in catalog._WINDOW_FRONT if n not in window]
+    assert not missing, f"front queries outside driver window: {missing}"
+    # unpinned (newly added) queries must also fit inside the window
+    pinned = set(catalog._WINDOW_FRONT) | set(catalog._WINDOW_TAIL)
+    mid = [n for n in names if n not in pinned]
+    assert len(catalog._WINDOW_FRONT) + len(mid) <= catalog.DRIVER_WINDOW, (
+        "window budget exceeded — move long-green queries to _WINDOW_TAIL: "
+        f"{mid}"
+    )
