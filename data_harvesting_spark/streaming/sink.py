@@ -76,31 +76,61 @@ def _recover_compaction(sink_path: str) -> None:
     """Roll the sink out of an interrupted compaction.
 
     Protocol (``compact_epochs``): (1) stage the consolidated directory
-    under ``<sink>.compact.tmp`` — the sink itself is untouched; (2) write
-    the ``.compacting`` marker naming the source dirs and the destination;
-    (3) remove the source dirs; (4) move the staged dir in; (5) remove the
-    marker. Every crash window resolves without row loss or duplication:
+    under ``<sink>.compact.tmp/<attempt>/`` — the sink itself is untouched;
+    (2) atomically rename the ``.compacting`` marker into place, naming the
+    source dirs, the destination, and the attempt dir; (3) remove the
+    source dirs; (4) move the staged dir in; (5) remove the marker. Every
+    crash window resolves without row loss or duplication:
 
-    - no marker → any ``.compact.tmp`` is pre-commit leftover; delete it.
+    - no marker → nothing to do. Pre-marker tmp state is NEVER touched from
+      the read path: a reader racing a live ``compact_epochs`` between its
+      staging write and its marker write must not delete the staged rows
+      (the compactor would then remove the sources and lose them — the
+      round-3 ADVICE race). Stale attempts are cleaned by the single-writer
+      ``compact_epochs`` itself.
+    - torn/unreadable marker → impossible with the atomic rename write, but
+      treated as pre-commit (the marker lands before any source is
+      touched, so sources are intact): drop the marker, leave tmp for the
+      compactor to clean.
     - marker + staged dir present → sources may be partially removed, the
       staged dir holds ALL their rows: finish removals, move it in.
     - marker + destination already in the sink → finish removals, clean up.
+
+    Idempotent and safe to run concurrently with the post-marker tail of a
+    live compaction: removals tolerate already-gone dirs and the final
+    rename tolerates the other side having won it.
     """
     marker = os.path.join(sink_path, _COMPACT_MARKER)
     tmp_root = sink_path.rstrip("/") + ".compact.tmp"
     if not os.path.isfile(marker):
-        shutil.rmtree(tmp_root, ignore_errors=True)
         return
-    with open(marker) as f:
-        state = json.load(f)
-    staged = os.path.join(tmp_root, state["dest"])
+    try:
+        with open(marker) as f:
+            state = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
+        return
+    staged = os.path.join(tmp_root, state.get("attempt", ""), state["dest"])
     dest = os.path.join(sink_path, state["dest"])
     if os.path.isdir(staged) or os.path.isdir(dest):
         for name in state["remove"]:
             shutil.rmtree(os.path.join(sink_path, name), ignore_errors=True)
         if not os.path.isdir(dest):
-            os.rename(staged, dest)
-    os.remove(marker)
+            try:
+                os.rename(staged, dest)
+            except OSError:
+                # a concurrent recovery won the rename — dest must exist now
+                if not os.path.isdir(dest):
+                    raise
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
+    # post-marker, the staged attempt has been moved (or its dest already
+    # exists) — the tmp root holds nothing live
     shutil.rmtree(tmp_root, ignore_errors=True)
 
 
@@ -150,20 +180,43 @@ def compact_epochs(
         return None
 
     tmp_root = sink_path.rstrip("/") + ".compact.tmp"
+    # single-writer maintenance: any tmp content here is a DEAD attempt's
+    # (this is the only place tmp may be cleaned pre-marker — the read path
+    # must never touch it, see _recover_compaction)
     shutil.rmtree(tmp_root, ignore_errors=True)
+    # per-attempt staging dir, recorded in the marker: a reader recovering
+    # a crashed compaction resolves exactly this attempt's staged rows
+    import uuid as _uuid
+
+    attempt = _uuid.uuid4().hex[:12]
     # no basePath: the source dirs are read as leaves, so the embedded
     # _epoch DATA column is the only _epoch — no partition-column twin
     df = spark.read.parquet(*[os.path.join(sink_path, s) for s in sources])
-    staged = os.path.join(tmp_root, dest_name)
+    staged = os.path.join(tmp_root, attempt, dest_name)
     df.coalesce(target_partitions).write.mode("overwrite").parquet(staged)
 
+    # atomic marker commit: temp file + fsync + rename — a crash mid-write
+    # can never leave a torn marker for readers to trip on
     marker = os.path.join(sink_path, _COMPACT_MARKER)
-    with open(marker, "w") as f:
-        json.dump({"remove": sources, "dest": dest_name}, f)
+    marker_tmp = marker + ".tmp"
+    with open(marker_tmp, "w") as f:
+        json.dump({"remove": sources, "dest": dest_name, "attempt": attempt}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(marker_tmp, marker)
     for name in sources:
         shutil.rmtree(os.path.join(sink_path, name), ignore_errors=True)
-    os.rename(staged, os.path.join(sink_path, dest_name))
-    os.remove(marker)
+    try:
+        os.rename(staged, os.path.join(sink_path, dest_name))
+    except OSError:
+        # a reader's _recover_compaction raced the post-marker tail and
+        # finished the move — same end state, nothing lost
+        if not os.path.isdir(os.path.join(sink_path, dest_name)):
+            raise
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
     shutil.rmtree(tmp_root, ignore_errors=True)
 
     # keep the lineage audit map complete: the folded epochs' file records

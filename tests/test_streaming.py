@@ -2036,3 +2036,72 @@ def test_compact_epochs_crash_windows(spark, tmp_path):
         )
         write_epoch(df, ep, sink)
     assert compact_epochs(spark, sink, keep_last=2) == "_epoch=compact-4"
+
+
+def test_reader_racing_in_flight_compaction_loses_nothing(spark, tmp_path):
+    """The round-3 ADVICE race: ``read_epoch_sink`` used to delete
+    ``<sink>.compact.tmp`` whenever no marker existed, so a reader running
+    between ``compact_epochs``' staging write and its marker write
+    destroyed the fully-staged rows the compactor was about to commit
+    (the compactor then removed the sources — permanent loss). Pin the
+    fix: (a) a reader in the pre-marker window reads the full sink AND
+    leaves the staged attempt untouched; (b) the compactor's post-marker
+    tail completes against the surviving staged dir with no row loss;
+    (c) a torn marker is treated as pre-commit (sources intact) and the
+    sink stays fully readable."""
+    import json
+
+    from data_harvesting_spark.streaming.sink import (
+        compact_epochs,
+        read_epoch_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    _write_toy_epochs(spark, sink, 5)
+    want = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+
+    # stage exactly what compact_epochs does pre-marker (attempt dir, no
+    # marker yet): the in-flight window the racing reader lands in
+    sources = ["_epoch=0", "_epoch=1", "_epoch=2"]
+    tmp_root = sink + ".compact.tmp"
+    staged = os.path.join(tmp_root, "attempt01", "_epoch=compact-2")
+    df = spark.read.parquet(*[os.path.join(sink, s) for s in sources])
+    df.coalesce(2).write.mode("overwrite").parquet(staged)
+
+    # (a) racing reader: full rows, staged attempt survives
+    got = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert os.path.isdir(staged), "reader deleted an in-flight staging dir"
+
+    # (b) compactor proceeds: marker → removals → rename → unmark
+    with open(os.path.join(sink, ".compacting"), "w") as f:
+        json.dump(
+            {"remove": sources, "dest": "_epoch=compact-2",
+             "attempt": "attempt01"}, f,
+        )
+    import shutil
+
+    for s in sources:
+        shutil.rmtree(os.path.join(sink, s))
+    os.rename(staged, os.path.join(sink, "_epoch=compact-2"))
+    os.remove(os.path.join(sink, ".compacting"))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    got = read_epoch_sink(spark, sink).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    # (c) torn marker (crash mid-write, pre-atomic-rename artifact): the
+    # protocol writes the marker before touching sources, so recovery
+    # treats it as pre-commit — sink reads fully, marker is dropped
+    sink2 = str(tmp_path / "sink2")
+    _write_toy_epochs(spark, sink2, 3)
+    want2 = read_epoch_sink(spark, sink2).orderBy("id").toPandas()
+    with open(os.path.join(sink2, ".compacting"), "w") as f:
+        f.write('{"remove": ["_epoch=0"], "de')  # truncated JSON
+    got2 = read_epoch_sink(spark, sink2).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got2, want2)
+    assert not os.path.exists(os.path.join(sink2, ".compacting"))
+
+    # a real compaction over the recovered sink still works end to end
+    assert compact_epochs(spark, sink2, keep_last=1) == "_epoch=compact-1"
+    got3 = read_epoch_sink(spark, sink2).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got3, want2)
