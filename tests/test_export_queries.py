@@ -67,11 +67,18 @@ def test_dpo_pairs_oracle_plan_and_semantics(spark):
 
 def test_doc_length_band_oracle_plan_and_semantics(spark):
     """[p5, p95] per-language length band matches the percent_rank oracle
-    on one lang exchange, and each language's global min/max lengths are
+    WITHOUT any per-lang sort of the data (round-4 scale path): ranks come
+    from the distinct-(lang, n_chars) count table, the kept interval
+    broadcast-joins back, and the plan has no percent_rank window, no
+    single-partition stage, and both hash exchanges carry only the tiny
+    distinct-lengths side. Each language's global min/max lengths are
     dropped whenever the language has enough distinct lengths to have
     tails at all."""
     plan, got = _oracle_parity(spark, "doc_length_band", ["doc_id"])
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "percent_rank" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
     full = duck_on_sf(
         "SELECT doc_id, lang, n_chars FROM documents", SF_ORACLE
@@ -85,12 +92,18 @@ def test_doc_length_band_oracle_plan_and_semantics(spark):
 
 
 def test_group_sample_k_oracle_plan_and_semantics(spark):
-    """Exact-k per-group sample matches the md5-rank oracle, yields
-    exactly min(k, group size) rows per language with rn = 1..k, on one
-    exchange; the selection is a fixed subset — re-running yields the
-    identical doc_id set."""
+    """Exact-k per-group sample matches the md5-rank oracle and yields
+    exactly min(k, group size) rows per language with rn = 1..k; the
+    selection is a fixed subset — re-running yields the identical
+    doc_id set."""
     plan, got = _oracle_parity(spark, "group_sample_k", ["lang", "rn"])
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # round-4 scale path: per-(lang, bucket) counts prune every bucket
+    # that can't hold a top-k row BEFORE any sort; no single-partition
+    # stage, the full-language sort is gone (the only data-side exchange
+    # carries broadcast-join survivors, ~k + one bucket per lang)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
 
     sizes = duck_on_sf(
         "SELECT lang, count(*) AS n FROM documents GROUP BY lang", SF_ORACLE
@@ -144,6 +157,25 @@ def test_shuffle_order_oracle_plan_and_semantics(spark):
     assert by_doc != sorted(by_doc)
 
 
+def test_sequence_pack_oracle_and_plan(spark):
+    """Sequence packing matches the global-running-sum oracle while
+    computing the running sum DISTRIBUTED (round-4 scale path): the only
+    single-partition stage is the <=257-row shard-offset window, the big
+    side moves through one shard hash exchange plus a broadcast join —
+    the shuffle_order pattern applied to an ordered prefix sum."""
+    plan, got = _oracle_parity(spark, "sequence_pack", ["doc_id"])
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    # the tiling is gap-free across shard boundaries (the exact property
+    # a wrong shard offset would break)
+    s = got.sort_values("doc_id")
+    starts, toks = s["start_tok"].to_numpy(), s["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+
+
 def test_export_queries_degenerate_inputs(spark, tmp_path):
     """Empty tables: every new export/sampling query returns an empty
     result cleanly. One-row tables: the sampling ops keep the row, the
@@ -160,7 +192,7 @@ def test_export_queries_degenerate_inputs(spark, tmp_path):
 
     qs = catalog.spark_queries()
     new = ["dpo_pairs", "doc_length_band", "group_sample_k",
-           "dataset_mix", "shuffle_order"]
+           "dataset_mix", "shuffle_order", "sequence_pack"]
     for name in new:
         assert qs[name](spark, str(tmp_path / "empty")).count() == 0, name
 
