@@ -64,6 +64,8 @@ def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     words = normalize_docs(documents).select(
         "doc_id", F.posexplode(F.split("norm_text", " ")).alias("pos", "w")
     )
+    if n == 1:  # unigram shingles: the distinct words themselves, no window
+        return words.select("doc_id", F.col("w").alias("shingle")).distinct()
     wnd = Window.partitionBy("doc_id").orderBy("pos")
     leads = words.select(
         "doc_id",
