@@ -610,6 +610,222 @@ def start_training_export_stream_job(
     return q
 
 
+# ---------------------------------------------------------------- DPO export
+# Preference-pair extraction as a CONTINUOUS stream (the batch `dpo_pairs`
+# catalog query's streaming sibling; reference analog: the continuous
+# dataset writer, `/root/reference/queue_harvesting.py:30-57`). Per tool the
+# running state is (best candidate, worst candidate, n-seen) — min/max are
+# associative over retained extremes and the count is additive, so folding
+# each micro-batch's aggregate into the prior ledger snapshot is EXACTLY the
+# batch aggregate over everything seen. State width is O(|tools|), the
+# bounded vocabulary, so no retention eviction is needed (unlike the
+# seen-hash ledger).
+
+# deterministic stand-in reward for streamed pairs: the event-table reward
+# column doesn't ride the transcript stream schema, and parity needs both
+# engines to score identically from pair content alone
+DPO_REWARD_MOD = 1000
+
+
+def dpo_candidates(pairs: DataFrame) -> DataFrame:
+    """Curated pairs → DPO candidates: one row per non-empty tool response,
+    scored by the deterministic content reward."""
+    return pairs.where(
+        F.col("tool").isNotNull() & (F.length(F.trim("response_text")) > 0)
+    ).select(
+        "tool",
+        "conv_id",
+        "example_idx",
+        "response_text",
+        F.pmod(F.xxhash64("response_text"), F.lit(DPO_REWARD_MOD))
+        .cast("bigint")
+        .alias("reward"),
+    )
+
+
+_DPO_PAYLOAD = ["conv_id", "example_idx", "response_text", "reward"]
+
+
+def _dpo_ordkey(c):
+    """Total preference order: highest reward first, (conv_id, example_idx)
+    tie-break — duplicate-free, so min_by/max_by picks are unique."""
+    return F.struct(
+        (-c["reward"]).alias("neg_reward"),
+        c["conv_id"].alias("conv_id"),
+        c["example_idx"].alias("example_idx"),
+    )
+
+
+def dpo_state(cands: DataFrame) -> DataFrame:
+    """(tool, ch, rj, n): best/worst candidate + count, one hash agg —
+    min_by/max_by partial-aggregate map-side, so at most 2 candidate rows
+    per tool per input partition cross the wire (same posture as the batch
+    ``dpo_pairs`` plan)."""
+    payload = F.struct(*_DPO_PAYLOAD)
+    key = _dpo_ordkey(payload)
+    return cands.groupBy("tool").agg(
+        F.min_by(payload, key).alias("ch"),
+        F.max_by(payload, key).alias("rj"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def merge_dpo_state(prior: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch aggregate into the prior per-tool state (full outer on
+    tool; extremes compared by the preference order, counts added)."""
+
+    def pick(x: str, y: str, smaller: bool):
+        kx, ky = _dpo_ordkey(F.col(x)), _dpo_ordkey(F.col(y))
+        wins = kx < ky if smaller else kx > ky
+        return (
+            F.when(F.col(x).isNull(), F.col(y))
+            .when(F.col(y).isNull(), F.col(x))
+            .when(wins, F.col(x))
+            .otherwise(F.col(y))
+        )
+
+    p = prior.select(
+        "tool", F.col("ch").alias("pch"), F.col("rj").alias("prj"),
+        F.col("n").alias("pn"),
+    )
+    b = batch.select(
+        "tool", F.col("ch").alias("bch"), F.col("rj").alias("brj"),
+        F.col("n").alias("bn"),
+    )
+    return p.join(b, "tool", "full_outer").select(
+        "tool",
+        pick("pch", "bch", smaller=True).alias("ch"),
+        pick("prj", "brj", smaller=False).alias("rj"),
+        (F.coalesce("pn", F.lit(0)) + F.coalesce("bn", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+
+def dpo_pairs_from_state(state: DataFrame) -> DataFrame:
+    """Exportable preference pairs: tools with >= 2 candidates and a strict
+    reward gap (validity is monotone under merging — the best only gets
+    better and the worst only worse, so a valid tool never un-exports)."""
+    return state.where(
+        (F.col("n") >= 2) & (F.col("ch.reward") > F.col("rj.reward"))
+    ).select(
+        "tool",
+        F.col("ch.conv_id").alias("chosen_conv"),
+        F.col("ch.example_idx").alias("chosen_idx"),
+        F.col("ch.response_text").alias("chosen_text"),
+        F.col("ch.reward").alias("chosen_reward"),
+        F.col("rj.conv_id").alias("rejected_conv"),
+        F.col("rj.example_idx").alias("rejected_idx"),
+        F.col("rj.response_text").alias("rejected_text"),
+        F.col("rj.reward").alias("rejected_reward"),
+    )
+
+
+def start_dpo_export_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """The batch ``dpo_pairs`` export as ONE continuous stream: stateful
+    curate → per-tool best/worst preference ledger → idempotent epoch sink.
+
+    Epoch N reads frozen ledger snapshot N-1, folds this batch's per-tool
+    aggregate in (``merge_dpo_state`` — exact, associativity of min/max
+    over retained extremes), emits the tools whose EXPORTED PAIR changed
+    this epoch, and writes snapshot N — a replayed epoch re-reads the same
+    pre-state, so composition with the idempotent sink stays exactly-once
+    (W7). The current dataset is the latest emission per tool
+    (``read_dpo_export``), which equals the batch aggregate over all
+    streamed input — pinned by
+    tests/test_streaming.py::test_dpo_export_stream_equals_batch and the
+    kill-resume variant.
+    """
+    from data_harvesting_spark.config import validate_config
+
+    validate_config(cfg, streaming_runner="kernel")
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    ledger_path = cfg.sink_path.rstrip("/") + ".dpostate"
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    curated = curated_stream(stream, cfg, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        batch_state = dpo_state(dpo_candidates(df))
+        prior = _read_cap_ledger(sp, ledger_path, epoch_id)
+        merged = (
+            merge_dpo_state(prior, batch_state)
+            if prior is not None
+            else batch_state
+        )
+        # both the changed-pair emission and the snapshot consume merged —
+        # persist so the upstream stateful curation runs once per epoch
+        merged = merged.persist()
+        try:
+            valid = dpo_pairs_from_state(merged)
+            if prior is not None:
+                pv = dpo_pairs_from_state(prior).select(
+                    "tool",
+                    F.col("chosen_conv").alias("_pc"),
+                    F.col("chosen_idx").alias("_pci"),
+                    F.col("rejected_conv").alias("_pr"),
+                    F.col("rejected_idx").alias("_pri"),
+                )
+                changed = (
+                    valid.join(pv, "tool", "left")
+                    .where(
+                        F.col("_pc").isNull()
+                        | (F.col("chosen_conv") != F.col("_pc"))
+                        | (F.col("chosen_idx") != F.col("_pci"))
+                        | (F.col("rejected_conv") != F.col("_pr"))
+                        | (F.col("rejected_idx") != F.col("_pri"))
+                    )
+                    .drop("_pc", "_pci", "_pr", "_pri")
+                )
+            else:
+                changed = valid
+            write_epoch(changed, epoch_id, cfg.sink_path)
+            # O(|tools|) rows — one file per snapshot is the right layout
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(ledger_path, f"_epoch={epoch_id}")
+            )
+            _prune_cap_ledger(ledger_path, epoch_id)
+        finally:
+            merged.unpersist()
+
+    writer = (
+        curated.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
+def read_dpo_export(spark: SparkSession, sink_path: str) -> DataFrame:
+    """The current preference dataset: the LATEST emitted pair per tool
+    (emissions are change-logged, so the newest epoch's row per tool is
+    the live state)."""
+    from pyspark.sql import Window
+
+    df = spark.read.option("basePath", sink_path).parquet(
+        os.path.join(sink_path, "_epoch=*")
+    )
+    w = Window.partitionBy("tool").orderBy(F.col("_epoch").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
+    )
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:

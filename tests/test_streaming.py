@@ -2105,3 +2105,127 @@ def test_reader_racing_in_flight_compaction_loses_nothing(spark, tmp_path):
     assert compact_epochs(spark, sink2, keep_last=1) == "_epoch=compact-1"
     got3 = read_epoch_sink(spark, sink2).orderBy("id").toPandas()
     pd.testing.assert_frame_equal(got3, want2)
+
+
+@pytest.fixture(scope="module")
+def dpo_batches(tmp_path_factory):
+    """Two tools whose preference candidates arrive across separate
+    micro-batches (so best/worst fold across epochs), one tool with a
+    single candidate (must never export), plus the watermark flush row."""
+    import time as _time
+
+    base = pd.Timestamp("2026-07-01 00:00:00")
+
+    def pair(conv, idx0, t0, tool, call, resp):
+        return [
+            (conv, idx0, "assistant", call, tool, t0),
+            (conv, idx0 + 1, "tool", resp, tool,
+             t0 + pd.Timedelta(seconds=10)),
+        ]
+
+    files = [
+        pair("a", 0, base, "search", "find x", "alpha result payload")
+        + pair("a", 2, base + pd.Timedelta(seconds=30), "browser",
+               "open y", "bravo page body"),
+        pair("b", 0, base + pd.Timedelta(hours=1), "search", "find z",
+             "charlie result payload")
+        + pair("b", 2, base + pd.Timedelta(hours=1, seconds=30), "lonely",
+               "only one", "delta single candidate"),
+        pair("c", 0, base + pd.Timedelta(hours=2), "search", "find w",
+             "echo result payload")
+        + pair("c", 2, base + pd.Timedelta(hours=2, seconds=30), "browser",
+               "open v", "foxtrot page body")
+        + pair("c", 4, base + pd.Timedelta(hours=2, minutes=1), "browser",
+               "open u", "golf page body"),
+        [("conv-flush", 0, "user", "flush", "flush",
+          base + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("dpo_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _dpo_batch_reference(spark, source_dir, cfg):
+    """The same per-tool best/worst aggregate run in ONE batch over the
+    whole input — shared helpers, so parity checks the LEDGER FOLDING, not
+    the scoring."""
+    from data_harvesting_spark.operators.curate_sessions import curate_sessions
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+    from data_harvesting_spark.streaming.pipeline import (
+        dpo_candidates,
+        dpo_pairs_from_state,
+        dpo_state,
+    )
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    pairs = curate_sessions(t, cfg)
+    return dpo_pairs_from_state(dpo_state(dpo_candidates(pairs))).toPandas()
+
+
+def _canon_dpo(pdf):
+    return (
+        pdf.sort_values("tool")
+        .reset_index(drop=True)
+        .reindex(sorted(pdf.columns), axis=1)
+    )
+
+
+def test_dpo_export_stream_equals_batch(spark, dpo_batches, tmp_path):
+    """The per-tool preference ledger folds micro-batch extremes into
+    exactly the batch aggregate: the latest emitted pair per tool equals
+    the one-shot batch DPO export, a single-candidate tool never exports,
+    and every exported pair has a strict reward gap."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        read_dpo_export,
+        start_dpo_export_stream_job,
+    )
+
+    cfg = _cfg(str(tmp_path))
+    q = start_dpo_export_stream_job(spark, dpo_batches, cfg,
+                                    available_now=False)
+    drain(q)
+    got = read_dpo_export(spark, cfg.sink_path).toPandas()
+    want = _dpo_batch_reference(spark, dpo_batches, cfg)
+    assert set(got["tool"]) == {"search", "browser"}
+    assert "lonely" not in set(got["tool"])
+    assert (got["chosen_reward"] > got["rejected_reward"]).all()
+    pd.testing.assert_frame_equal(_canon_dpo(got), _canon_dpo(want))
+
+
+def test_dpo_export_stream_kill_and_resume(spark, dpo_batches, tmp_path):
+    """W7 on the DPO stream: frozen per-epoch ledger snapshots replay to
+    the same folds — kill mid-stream, resume, the final dataset equals
+    the uninterrupted batch reference."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        read_dpo_export,
+        start_dpo_export_stream_job,
+    )
+
+    cfg = _cfg(str(tmp_path))
+    q = start_dpo_export_stream_job(spark, dpo_batches, cfg,
+                                    available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_dpo_export_stream_job(spark, dpo_batches, cfg,
+                                     available_now=False)
+    drain(q2)
+    got = read_dpo_export(spark, cfg.sink_path).toPandas()
+    want = _dpo_batch_reference(spark, dpo_batches, cfg)
+    pd.testing.assert_frame_equal(_canon_dpo(got), _canon_dpo(want))
