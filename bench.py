@@ -79,15 +79,16 @@ def run_headline() -> dict:
     # per-query minimum estimate steady-state the same way the scaling
     # protocol's interleaved rounds do. Plans are identical across passes
     # (same session, same query objects), so this is noise damping only.
-    timings: dict[str, float] = {}
+    # BOTH raw passes are recorded in the artifact (r3 ADVICE: the
+    # round-1/2 series was single-pass; pass 1 here bridges it).
+    per_pass: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.perf_counter()
             _noop_write(fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            per_pass[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in per_pass.items()}
 
     # curated-turns/sec: input transcript turns / flagship wall time
     # (BASELINE.json metric). Input size measured once, outside the timing.
@@ -105,6 +106,8 @@ def run_headline() -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_per_pass": per_pass,
+        "pass1_total": round(sum(ts[0] for ts in per_pass.values()), 3),
         "sf": sf,
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         "input_turns": n_turns,
