@@ -718,10 +718,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_clusters", None)
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 — per-group KMeans over embeddings (applyInPandas, numpy
-    Lloyd's; rows-only: iterative ML is not ANSI-SQL-expressible).
-    Groups = embedding label buckets; k selected per group by the
-    deterministic elbow over 1..8 — the reference's actual semantics
-    (`utils/ColorDetector.py:93-119` via find_main_colors)."""
+    Lloyd's; rows-only: iterative ML over arbitrary data is not
+    ANSI-SQL-expressible). Groups = embedding label buckets; k selected
+    per group by the deterministic elbow over 1..8 — the reference's
+    actual semantics (`utils/ColorDetector.py:93-119` via
+    find_main_colors). Every ingredient IS oracle-anchored on fixtures:
+    the centroid math (``embedding_centroid_k1``), the Lloyd iteration
+    (``embedding_kmeans_k2``, 2 steps unrolled into SQL), and the elbow
+    k-selection itself (``embedding_elbow_k``, chord rule over a
+    closed-form inertia curve)."""
     from data_harvesting_spark.operators.clustering import cluster_groups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1144,6 +1149,109 @@ def q_embedding_kmeans_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.round("inertia", 6).alias("inertia"),
     )
+
+
+# Elbow K-SELECTION oracle (closing the last rows-only gap from the VERDICT
+# stretch item): on a fixture whose converged Lloyd partitions are known in
+# closed form, the inertia curve i(k) for k in {1,2,3} is computable from
+# explicit partition labels, and the chord-rule knee is a CASE expression.
+# Fixture (synthesized deterministically from vec_id, identical SQL both
+# engines): groups of 16 consecutive ids, regime = group % 3 —
+#   0: constant points        → flat inertia curve → degenerate guard, k=1
+#   1: exactly two points     → ks=[1,2], both chord endpoints,        k=1
+#   2: three separated 1-D blobs at 0/49/100 (±0.1 two-valued jitter) —
+#      Lloyd k=2 from the norm-order init merges the middle blob into the
+#      strictly-nearer low blob ({A∪B},{C}); k=3 recovers the blobs; the
+#      knee test i2 < (i1+i3)/2 holds with ~2.5x margin             → k=2
+# The compared value is the INTEGER chosen k per group, so cross-engine
+# float noise in the inertias cannot flip a row (margins are O(1), noise
+# O(1e-12)). Reference k-selection semantics:
+# `/root/reference/utils/ColorDetector.py:93-119` (elbow over
+# min..max_clusters).
+_ELBOW_V_SQL = """
+  SELECT CAST(FLOOR(vec_id / 16) AS BIGINT) AS g,
+         vec_id % 16 AS p,
+         FLOOR(vec_id / 16) % 3 AS regime,
+         vec_id % 16 % 3 AS blob,
+         CASE
+           WHEN FLOOR(vec_id / 16) % 3 = 0 THEN 7.0
+           WHEN FLOOR(vec_id / 16) % 3 = 1 THEN
+             CASE WHEN vec_id % 16 = 0 THEN 10.0 ELSE 20.0 END
+           ELSE (CASE vec_id % 16 % 3 WHEN 0 THEN 0.0
+                      WHEN 1 THEN 49.0 ELSE 100.0 END)
+                + (CASE WHEN vec_id % 16 % 6 >= 3 THEN 0.1 ELSE -0.1 END)
+         END AS v
+  FROM embeddings
+  WHERE FLOOR(vec_id / 16) % 3 <> 1 OR vec_id % 16 < 2
+"""
+
+_ELBOW_SQL = f"""
+WITH pts AS ({_ELBOW_V_SQL}),
+i1 AS (
+  SELECT g, count(*) AS n, var_pop(v) * count(*) AS i1 FROM pts GROUP BY g
+),
+i2 AS (
+  SELECT g, sum(ss) AS i2 FROM (
+    SELECT g, CASE WHEN blob IN (0, 1) THEN 0 ELSE 1 END AS c,
+           var_pop(v) * count(*) AS ss
+    FROM pts GROUP BY 1, 2) t GROUP BY g
+),
+i3 AS (
+  SELECT g, sum(ss) AS i3 FROM (
+    SELECT g, blob, var_pop(v) * count(*) AS ss
+    FROM pts GROUP BY 1, 2) t GROUP BY g
+)
+SELECT CAST(i1.g AS VARCHAR) AS grp,
+       CAST(CASE WHEN i1.n <= 2 THEN 1
+                 WHEN i1.i1 <= i3.i3 THEN 1
+                 WHEN i2.i2 < (i1.i1 + i3.i3) / 2 THEN 2
+                 ELSE 1 END AS INT) AS chosen_k
+FROM i1 JOIN i2 USING (g) JOIN i3 USING (g)
+"""
+
+
+@register("embedding_elbow_k", _ELBOW_SQL)
+def q_embedding_elbow_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 elbow anchor: per-group ELBOW k selection through the real
+    ``cluster_groups(k_mode='elbow')`` kernel, value-checked against the
+    closed-form inertia-curve + chord-rule oracle (see the fixture note
+    above). The chosen k is read back as the number of non-empty clusters
+    the selected fit emitted."""
+    from data_harvesting_spark.operators.clustering import cluster_groups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = F.floor(F.col("vec_id") / 16)
+    p = F.col("vec_id") % 16
+    regime = g % 3
+    center = F.element_at(
+        F.array(F.lit(0.0), F.lit(49.0), F.lit(100.0)),
+        ((p % 3) + 1).cast("int"),
+    )
+    jit = F.when(p % 6 >= 3, F.lit(0.1)).otherwise(F.lit(-0.1))
+    v = (
+        F.when(regime == 0, F.lit(7.0))
+        .when(regime == 1,
+              F.when(p == 0, F.lit(10.0)).otherwise(F.lit(20.0)))
+        .otherwise(center + jit)
+    )
+    pts = (
+        emb.select(
+            "vec_id",
+            g.cast("string").alias("grp"),
+            regime.alias("regime"),
+            p.alias("p"),
+            v.alias("v"),
+        )
+        .where((F.col("regime") != 1) | (F.col("p") < 2))
+        .select("grp", F.array("v").alias("vec"), "vec_id")
+    )
+    out = cluster_groups(
+        pts, "grp", "vec", k_mode="elbow", k_min=1, k_max=3,
+        order_col="vec_id",
+    )
+    return out.groupBy("group_key").agg(
+        F.count("*").cast("int").alias("chosen_k")
+    ).select(F.col("group_key").alias("grp"), "chosen_k")
 
 
 # Oracle for IVF via the deterministic data-anchor quantizer: centroids =

@@ -202,3 +202,17 @@ def test_export_queries_degenerate_inputs(spark, tmp_path):
     assert qs["dataset_mix"](spark, one).count() in (1, 3)
     assert qs["doc_length_band"](spark, one).count() == 0
     assert qs["dpo_pairs"](spark, one).count() == 0
+
+
+def test_embedding_elbow_k_oracle_and_semantics(spark):
+    """The elbow k-selection anchor: the real cluster_groups elbow kernel
+    against the closed-form inertia-curve + chord-rule oracle. All three
+    fixture regimes appear and land on their designed k: constant and
+    two-point groups at k=1 (degenerate guard / endpoint-only range),
+    three-blob groups at the k=2 knee."""
+    plan, got = _oracle_parity(spark, "embedding_elbow_k", ["grp"])
+    ks = got.set_index(got["grp"].astype(int))["chosen_k"]
+    assert set(got["chosen_k"]) == {1, 2}
+    assert (ks[ks.index % 3 == 0] == 1).all()  # constant regime
+    assert (ks[ks.index % 3 == 1] == 1).all()  # two-point regime
+    assert (ks[ks.index % 3 == 2] == 2).all()  # three-blob regime
