@@ -117,3 +117,49 @@ def run_report(transcripts: DataFrame) -> DataFrame:
             )
         ),
     )
+
+
+def sft_pairs_frame(transcripts: DataFrame, context_turns: int = 3) -> DataFrame:
+    """SFT context→target extraction on a transcript frame: for every
+    non-empty assistant turn, the up-to-``context_turns`` preceding turns
+    joined as ``role: text`` lines (the catalog ``sft_pairs`` query and
+    the streaming SFT export both delegate here — one definition, two
+    execution modes).
+
+    Plan: one framed window over the conv_id exchange (zero extra
+    shuffles after the derivation); the collected structs are sorted
+    before joining so the context string is frame-evaluation-order-free.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    ctx_arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("ti"),
+                F.concat_ws(": ", "role", "text").alias("line"),
+            )
+        ).over(w)
+    )
+    out = transcripts.select(
+        "conv_id", "turn_idx", "role", "text", ctx_arr.alias("ctx_arr")
+    )
+    return (
+        out.where(
+            (F.col("role") == "assistant")
+            & (F.length(F.trim("text")) > 0)
+            & (F.size("ctx_arr") > 0)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(
+                F.transform("ctx_arr", lambda s: s["line"]), "\n"
+            ).alias("context"),
+            F.col("text").alias("target"),
+        )
+    )

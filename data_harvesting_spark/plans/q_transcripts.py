@@ -906,43 +906,13 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the framed collect rides the SAME conv_id exchange as the
     transcript derivation (one extra sort, zero extra shuffles). The
     collected structs are sort_array'ed before joining, so the context
-    string is deterministic regardless of frame evaluation order."""
+    string is deterministic regardless of frame evaluation order.
+    Shared definition: ``operators/aggregates.py::sft_pairs_frame`` (the
+    streaming SFT export job consumes the same function — r4)."""
+    from data_harvesting_spark.operators.aggregates import sft_pairs_frame
+
     t = load_transcripts_from_events(spark, sf_dir)
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(-3, -1)
-    )
-    ctx_arr = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col("turn_idx").alias("ti"),
-                F.concat_ws(": ", "role", "text").alias("line"),
-            )
-        ).over(w)
-    )
-    out = t.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        ctx_arr.alias("ctx_arr"),
-    )
-    return (
-        out.where(
-            (F.col("role") == "assistant")
-            & (F.length(F.trim("text")) > 0)
-            & (F.size("ctx_arr") > 0)
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.array_join(
-                F.transform("ctx_arr", lambda s: s["line"]), "\n"
-            ).alias("context"),
-            F.col("text").alias("target"),
-        )
-    )
+    return sft_pairs_frame(t, context_turns=3)
 
 
 # ---------------------------------------------------------------- export:

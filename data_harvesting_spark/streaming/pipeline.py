@@ -826,6 +826,49 @@ def read_dpo_export(spark: SparkSession, sink_path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- SFT export
+def start_sft_export_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+    context_turns: int = 3,
+):
+    """The batch ``sft_pairs`` export as ONE continuous stream: a
+    buffer-then-emit stateful handler (streaming/sft.py) assembles each
+    conversation's ordered turns, emits context→target pairs when the
+    watermark closes a session, and carries the last ``context_turns``
+    emitted turns so context windows cross session closes EXACTLY as the
+    batch frame does. Output flows through the idempotent epoch sink —
+    the handler is deterministic given checkpointed state, so replayed
+    epochs rewrite identical rows (W7; pinned by the kill-resume test).
+    """
+    from data_harvesting_spark.config import validate_config
+    from data_harvesting_spark.streaming.sft import sft_stream
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    validate_config(cfg, streaming_runner="kernel")
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    pairs = sft_stream(stream, cfg, context_turns, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, epoch_id, cfg.sink_path)
+
+    writer = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:

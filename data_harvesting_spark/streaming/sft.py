@@ -1,0 +1,251 @@
+"""Streaming SFT context→target export — the batch ``sft_pairs`` catalog
+query as a continuous stateful stream (the third export sibling, after
+the composite training export and the DPO preference stream).
+
+Shape: buffer-then-emit like the session correlator (state.py), but the
+emitted artifact is SFT pairs over the conversation's ORDERED turns, and
+the state carries the last ``context_turns`` already-emitted turns
+forward. That carry is what makes the stream EXACTLY batch-equal even
+when a conversation spans multiple session windows: the first assistant
+turn of session 2 still sees the tail of session 1 as context, precisely
+as the batch frame (``ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING`` over the
+whole conversation) would. Carry width is O(context_turns) per live
+conversation — constant, no retention policy needed.
+
+Emission discipline mirrors the correlator: a session is emitted only
+once the event-time watermark passes ``session_end + gap`` (no earlier
+turn can still arrive), sessions close strictly in time order, and the
+event-time timeout flushes whatever remains when the watermark moves past
+the conversation. Beyond-watermark rows are dropped and counted (W2/W6 —
+``applyInPandasWithState`` does not pre-filter them).
+
+Exactly-once: the handler is deterministic given (state, batch), state is
+checkpoint-versioned, and the epoch sink is idempotent — a replayed epoch
+rewrites identical rows (W7), pinned by the kill-resume test.
+
+Reference analog: the continuous dataset writer
+(`/root/reference/queue_harvesting.py:30-57`) feeding the pair export
+(`/root/reference/exports/yolov8/yolov8_export.py:63-90`), re-expressed
+for text SFT pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_harvesting_spark.config import HarvestConfig
+from data_harvesting_spark.operators.curate_sessions import parse_duration_seconds
+from data_harvesting_spark.operators.kernel import split_sessions
+
+# buffered (not-yet-emitted) turns + the ≤context_turns carry of already-
+# emitted turns (context continuity across session closes)
+SFT_STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idx", ArrayType(IntegerType()), True),
+        StructField("role", ArrayType(StringType()), True),
+        StructField("text", ArrayType(StringType()), True),
+        StructField("ts_us", ArrayType(LongType()), True),
+        StructField("c_idx", ArrayType(IntegerType()), True),
+        StructField("c_role", ArrayType(StringType()), True),
+        StructField("c_text", ArrayType(StringType()), True),
+    ]
+)
+
+SFT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), True),
+        StructField("turn_idx", IntegerType(), True),
+        StructField("context", StringType(), True),
+        StructField("target", StringType(), True),
+    ]
+)
+
+
+def _line(role, text) -> str:
+    """Python twin of the batch ``concat_ws(": ", role, text)`` — null
+    text collapses to the bare role, empty text keeps the separator."""
+    if text is None or (isinstance(text, float) and pd.isna(text)):
+        return "" if role is None else str(role)
+    if role is None:
+        return str(text)
+    return f"{role}: {text}"
+
+
+def sft_pairs_pdf(
+    pdf: pd.DataFrame,
+    carry: pd.DataFrame,
+    context_turns: int,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Emit SFT pairs for ``pdf``'s turns given the already-emitted
+    ``carry`` prefix; return (pairs, new carry = last context_turns of
+    carry+pdf). Turn order is batch's: ascending turn_idx."""
+    pdf = pdf.sort_values("turn_idx")
+    conv_id = pdf["conv_id"].iloc[0]
+    all_idx = list(carry["c_idx"]) + [int(x) for x in pdf["turn_idx"]]
+    all_role = list(carry["c_role"]) + list(pdf["role"])
+    all_text = list(carry["c_text"]) + list(pdf["text"])
+    lines = [_line(r, t) for r, t in zip(all_role, all_text)]
+    n_carry = len(carry)
+    rows = []
+    for j in range(n_carry, len(all_idx)):
+        role, text = all_role[j], all_text[j]
+        if role != "assistant" or text is None or not str(text).strip():
+            continue
+        lo = max(0, j - context_turns)
+        if lo == j:
+            continue
+        rows.append(
+            (conv_id, all_idx[j], "\n".join(lines[lo:j]), text)
+        )
+    pairs = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "context", "target"]
+    )
+    pairs["turn_idx"] = pairs["turn_idx"].astype("int32")
+    k = min(context_turns, len(all_idx))
+    new_carry = pd.DataFrame(
+        {
+            "c_idx": pd.array(all_idx[-k:] if k else [], dtype="int32"),
+            "c_role": all_role[-k:] if k else [],
+            "c_text": all_text[-k:] if k else [],
+        }
+    )
+    return pairs, new_carry
+
+
+def _state_to_frames(conv_id: str, tup: tuple) -> tuple[pd.DataFrame, pd.DataFrame]:
+    turn_idx, role, text, ts_us, c_idx, c_role, c_text = tup[:7]
+    buf = pd.DataFrame(
+        {
+            "conv_id": np.repeat(conv_id, len(turn_idx)),
+            "turn_idx": pd.array(turn_idx, dtype="int32"),
+            "role": role,
+            "text": text,
+            "ts": pd.to_datetime(pd.array(ts_us, dtype="int64"), unit="us"),
+        }
+    )
+    carry = pd.DataFrame(
+        {
+            "c_idx": pd.array(c_idx or [], dtype="int32"),
+            "c_role": c_role or [],
+            "c_text": c_text or [],
+        }
+    )
+    return buf, carry
+
+
+def _frames_to_state(buf: pd.DataFrame, carry: pd.DataFrame) -> tuple:
+    return (
+        buf["turn_idx"].astype("int32").tolist(),
+        buf["role"].tolist(),
+        [None if pd.isna(x) else x for x in buf["text"]],
+        (buf["ts"].astype("datetime64[us]").astype("int64")).tolist(),
+        carry["c_idx"].astype("int32").tolist(),
+        carry["c_role"].tolist(),
+        [None if pd.isna(x) else x for x in carry["c_text"]],
+    )
+
+
+_EMPTY_CARRY = pd.DataFrame(
+    {"c_idx": pd.array([], dtype="int32"), "c_role": [], "c_text": []}
+)
+
+
+def make_sft_handler(
+    cfg: HarvestConfig, context_turns: int = 3, late_counter=None
+):
+    """Build the applyInPandasWithState handler (see module docstring)."""
+    gap_s = parse_duration_seconds(cfg.session_gap)
+    gap_ms = int(gap_s * 1000)
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+
+        if state.hasTimedOut:
+            buf, carry = _state_to_frames(conv_id, state.get)
+            if len(buf):
+                pairs, _ = sft_pairs_pdf(buf, carry, context_turns)
+                if len(pairs):
+                    yield pairs
+            state.remove()
+            return
+
+        new = pd.concat(list(pdfs), ignore_index=True)
+        wm0_ms = state.getCurrentWatermarkMs()
+        if wm0_ms > 0:
+            late = new["ts"].astype("datetime64[us]").astype("int64") < (
+                wm0_ms * 1000
+            )
+            if late.any():
+                if late_counter is not None:
+                    late_counter.add(int(late.sum()))
+                new = new[~late]
+                if len(new) == 0 and not state.exists:
+                    return
+
+        if state.exists:
+            buf0, carry = _state_to_frames(conv_id, state.get)
+            buf = pd.concat([buf0, new[buf0.columns]], ignore_index=True)
+        else:
+            carry = _EMPTY_CARRY
+            buf = new[["conv_id", "turn_idx", "role", "text", "ts"]]
+
+        wm_ms = state.getCurrentWatermarkMs()
+        sessions = split_sessions(buf, gap_s)
+        keep: list[pd.DataFrame] = []
+        for sess in sessions:
+            end_ms = sess["ts"].max().value // 1_000_000
+            # strict <: at ts == end + gap an admissible turn still merges
+            if not keep and wm_ms > 0 and end_ms + gap_ms < wm_ms:
+                pairs, carry = sft_pairs_pdf(sess, carry, context_turns)
+                if len(pairs):
+                    yield pairs
+            else:
+                keep.append(sess)
+
+        if keep:
+            remaining = pd.concat(keep, ignore_index=True)
+            state.update(_frames_to_state(remaining, carry))
+            last_ms = remaining["ts"].max().value // 1_000_000
+            state.setTimeoutTimestamp(max(last_ms + gap_ms, wm_ms + 1))
+        else:
+            # everything emitted: nothing buffered, and any turn that could
+            # still want this carry as context would be beyond-watermark
+            # (dropped late) — forget the conversation
+            state.remove()
+
+    return handler
+
+
+def sft_stream(
+    transcripts_stream: DataFrame,
+    cfg: HarvestConfig,
+    context_turns: int = 3,
+    late_counter=None,
+) -> DataFrame:
+    """Wire the SFT handler onto a watermarked transcript stream."""
+    return (
+        transcripts_stream.withWatermark("ts", cfg.watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_sft_handler(cfg, context_turns, late_counter),
+            outputStructType=SFT_OUTPUT_SCHEMA,
+            stateStructType=SFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

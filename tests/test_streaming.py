@@ -2229,3 +2229,146 @@ def test_dpo_export_stream_kill_and_resume(spark, dpo_batches, tmp_path):
     got = read_dpo_export(spark, cfg.sink_path).toPandas()
     want = _dpo_batch_reference(spark, dpo_batches, cfg)
     pd.testing.assert_frame_equal(_canon_dpo(got), _canon_dpo(want))
+
+
+# ------------------------------------------------------------ SFT export
+def _sft_batch_reference(spark, source_dir: str) -> pd.DataFrame:
+    from data_harvesting_spark.operators.aggregates import sft_pairs_frame
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    return sft_pairs_frame(t, context_turns=3).toPandas()
+
+
+def _canon_sft(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf[["conv_id", "turn_idx", "context", "target"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sft_export_stream_equals_batch(spark, fixture_batches, tmp_path):
+    """The streaming SFT export (buffer-then-emit + emitted-turns carry)
+    equals the batch sft_pairs frame over the same files — every
+    context window, including ones whose target sits in a later session
+    than its context turns."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sft_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sft_export_stream_job(spark, fixture_batches, cfg,
+                                    available_now=False)
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _sft_batch_reference(spark, fixture_batches)
+    want = want[want["conv_id"] != "conv-flush"]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
+
+
+@pytest.fixture(scope="module")
+def sft_two_session_batches(tmp_path_factory):
+    """One conversation whose two sessions sit 2 hours apart (gap 30 min):
+    the first assistant turn of session 2 must see session 1's tail as
+    context — the carry contract. Arrival order: session 1, then session
+    2, then the flush row."""
+    import time as _time
+
+    base = pd.Timestamp("2026-07-02 00:00:00")
+    s2 = base + pd.Timedelta(hours=2)
+    files = [
+        [
+            ("conv-x", 0, "user", "how do I sort a table", None, base),
+            ("conv-x", 1, "assistant", "use ORDER BY", None,
+             base + pd.Timedelta(seconds=20)),
+            ("conv-x", 2, "user", "and partition it", None,
+             base + pd.Timedelta(seconds=40)),
+            ("conv-x", 3, "assistant", "PARTITION BY works", None,
+             base + pd.Timedelta(seconds=60)),
+        ],
+        [
+            ("conv-x", 4, "user", "back again: what about windows", None, s2),
+            ("conv-x", 5, "assistant", "frame with ROWS BETWEEN", None,
+             s2 + pd.Timedelta(seconds=20)),
+        ],
+        [("conv-flush", 0, "user", "flush", "flush",
+          s2 + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("sft_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_sft_export_context_crosses_session_close(
+    spark, sft_two_session_batches, tmp_path
+):
+    """Turn 4 (user) and turn 5 (assistant) arrive after session 1 was
+    emitted; the carry supplies turns 2,3,4 as turn 5's context exactly
+    as the batch whole-conversation frame does."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sft_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sft_export_stream_job(spark, sft_two_session_batches, cfg,
+                                    available_now=False)
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] == "conv-x"]
+    want = _sft_batch_reference(spark, sft_two_session_batches)
+    want = want[want["conv_id"] == "conv-x"]
+    t5 = got[got["turn_idx"] == 5]
+    assert len(t5) == 1
+    assert t5["context"].iloc[0] == (
+        "user: and partition it\n"
+        "assistant: PARTITION BY works\n"
+        "user: back again: what about windows"
+    )
+    pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
+
+
+def test_sft_export_stream_kill_and_resume(spark, fixture_batches, tmp_path):
+    """W7 on the SFT stream: deterministic handler + checkpoint-versioned
+    state + idempotent epoch sink — kill mid-stream, resume, final output
+    equals the uninterrupted batch reference."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sft_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sft_export_stream_job(spark, fixture_batches, cfg,
+                                    available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_sft_export_stream_job(spark, fixture_batches, cfg,
+                                     available_now=False)
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] != "conv-flush"]
+    want = _sft_batch_reference(spark, fixture_batches)
+    want = want[want["conv_id"] != "conv-flush"]
+    pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
