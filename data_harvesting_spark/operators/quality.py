@@ -410,3 +410,111 @@ def workflow_similarity(
          .otherwise(F.col("sz_a")).alias("sz_b"),
         "jaccard",
     )
+
+
+def lm_score(docs: DataFrame, lm_corpus: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality score: per document, the mean
+    negative log-likelihood of its tokens under a unigram LM trained on
+    ``lm_corpus`` (default: the corpus itself) — the published "score
+    with a small LM, filter/bucket by perplexity" gate (Wenzek et al.
+    2020, CCNet; the KenLM stage of most public pipeline recipes), with
+    the unigram model standing in for KenLM since no LM library ships in
+    this environment. Lower = more natural under the reference corpus.
+
+    Scale posture: training is ONE word hash-aggregate over the LM corpus
+    (map-side combined, Heaps-bounded output); scoring joins each doc
+    token against the **broadcast** vocabulary — at 100 TB the vocabulary
+    is capped to the top-K words by mass (every real tokenizer/LM does
+    this) and unseen tokens take the add-one smoothing floor, so the
+    broadcast stays MB-sized no matter the corpus. Totals ride the same
+    aggregate; no shuffle touches corpus text twice.
+
+    Float discipline: the score is ``round(mean(-ln p), 6)`` — the same
+    cross-engine rounding contract the other float-emitting catalog
+    queries use. p(w) = (freq(w)+1) / (T+V) with T = total tokens,
+    V = vocabulary size (add-one smoothing; unseen words — possible when
+    ``lm_corpus`` differs from ``docs`` — score at 1/(T+V)).
+    """
+    from data_harvesting_spark.functions.bpe import word_frequencies
+
+    if lm_corpus is None:
+        lm_corpus = docs
+    vocab = word_frequencies(lm_corpus, "text")
+    totals = vocab.agg(
+        F.sum("freq").alias("t_tokens"), F.count("*").alias("v_size")
+    )
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", ""), r" +", " "
+        )
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    ).where(F.col("word") != "")
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("freq"), F.lit(0)) + 1)
+                    / (F.col("t_tokens") + F.col("v_size")).cast("double")
+                )
+            ).alias("neg_logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("neg_logp"), 6).alias("lm_score"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_words: int = 64, stride: int = 48
+) -> DataFrame:
+    """RAG-style document chunking: overlapping word windows of
+    ``chunk_words`` words advancing by ``stride`` (overlap =
+    chunk_words - stride), last chunk ending exactly at the document's
+    final word. The retrieval-corpus prep step every embedding pipeline
+    runs before indexing.
+
+    Pure JVM expressions — split, a bounded ``sequence`` explode, and
+    per-row ``slice``/``array_join`` — so chunking rides the parquet scan
+    with ZERO shuffle and stays inside whole-stage codegen; the fan-out
+    is |words|/stride rows per doc, exactly the output size. Chunk-count
+    arithmetic is integer-only (no float ceil), bit-identical in any
+    engine."""
+    assert 0 < stride <= chunk_words
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", ""), r" +", " "
+        )
+    )
+    w = F.split(norm, " ")
+    n = F.when(F.length(norm) > 0, F.size(w)).otherwise(F.lit(0))
+    # k_max = 0 when n <= chunk_words else ceil((n - chunk_words)/stride),
+    # via integer arithmetic: (n - chunk_words + stride - 1) div stride
+    k_max = F.when(
+        n <= chunk_words, F.lit(0)
+    ).otherwise(
+        F.floor((n - chunk_words + stride - 1) / stride).cast("int")
+    )
+    arr = docs.select(
+        "doc_id", w.alias("w"), n.alias("n"), k_max.alias("k_max")
+    ).where(F.col("n") > 0)
+    k = F.explode(F.sequence(F.lit(0), F.col("k_max"))).alias("chunk_idx")
+    chunks = arr.select("doc_id", "w", "n", k).select(
+        "doc_id",
+        F.col("chunk_idx"),
+        F.slice(
+            F.col("w"), F.col("chunk_idx") * stride + 1, chunk_words
+        ).alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").alias("n_words"),
+        F.array_join("cw", " ").alias("chunk_text"),
+    )

@@ -396,3 +396,71 @@ def cosine_topk_ivf_anchors(
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     return _ivf_search(embeddings, queries, mat, aids, k, nprobe, id_col, vec_col)
+
+
+def semantic_dedup_anchors(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    anchor_mod: int = 37,
+    max_anchor_id: int = 37 * 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest anchor cell, compute pairwise cosines
+    ONLY within each cell, and drop any vector that has a smaller-id
+    cell-mate with cosine ≥ ``threshold``. Returns the kept rows as
+    (id_col, cell).
+
+    Keep rule divergence from the paper (documented): SemDeDup keeps the
+    cluster member farthest from the centroid per ε-group; this
+    implementation keeps the smallest id per within-τ neighborhood — a
+    deterministic, engine-portable rule (no float argmax ties), and the
+    drop decision ignores whether the smaller-id mate was itself dropped
+    (chain-free: one join, no iteration).
+
+    Scale posture: the quadratic stage is per-cell, exactly as published
+    (SemDeDup's pairwise step runs inside k-means clusters; k scales with
+    corpus so cells stay ~constant-sized). Cell assignment is one
+    Arrow-batched UDF over a broadcast anchor matrix (bounded collect);
+    the pair join is a same-cell equi-join — shuffle keyed by cell, no
+    all-pairs stage touches the corpus. A hot cell is a quantizer-quality
+    problem (raise anchor count), not a plan problem.
+    """
+    rows = (
+        embeddings.where(
+            (F.col(id_col) % anchor_mod == 0) & (F.col(id_col) < max_anchor_id)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no anchor rows — see cosine_topk_ivf_anchors")
+    aids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    assign1 = _assign_cells_udf(mat, 1, aids)
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")

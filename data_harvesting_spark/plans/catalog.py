@@ -72,6 +72,9 @@ _WINDOW_FRONT = [
 
 _WINDOW_TAIL = [
     # green in rounds 1-3, untouched since — safe to rotate past the window
+    "dedup_exact_docs",
+    "ngram_jaccard_dups",
+    "doc_quality",
     "tpch_q1",
     "orders_by_nation",
     "value_buckets",

@@ -1704,3 +1704,129 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", bpe_token_count_expr("text").alias("n_bpe_tokens")
     )
+
+
+# -------------------------------------------------------- LM quality score
+_NORM_DOC_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+_LM_SCORE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_DOC_SQL} AS t FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS word
+  FROM norm WHERE t <> ''
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM words WHERE word <> '' GROUP BY word
+),
+tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS t_tokens,
+         CAST(count(*) AS BIGINT) AS v_size
+  FROM vocab
+)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((v.freq + 1) / CAST(t.t_tokens + t.v_size AS DOUBLE))),
+             6) AS lm_score
+FROM words w JOIN vocab v USING (word) CROSS JOIN tot t
+WHERE w.word <> ''
+GROUP BY w.doc_id
+"""
+
+
+@register("doc_lm_score", _LM_SCORE_SQL)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: mean unigram negative
+    log-likelihood per document under a corpus-trained LM (Wenzek et al.
+    2020 — the 'score with a small LM, bucket by perplexity' gate).
+    Training is one Heaps-bounded word hash-agg; scoring is a broadcast
+    vocabulary join; round(·, 6) is the cross-engine float contract."""
+    from data_harvesting_spark.operators.quality import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score(docs)
+
+
+# ------------------------------------------------------------- RAG chunking
+_CHUNKS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_DOC_SQL} AS t FROM documents
+),
+arr AS (
+  SELECT doc_id, string_split(t, ' ') AS w, len(string_split(t, ' ')) AS n
+  FROM norm WHERE t <> ''
+),
+k AS (
+  SELECT doc_id, w, n,
+         CASE WHEN n <= 64 THEN 0
+              ELSE CAST(floor((n - 64 + 47) / 48) AS INT) END AS k_max
+  FROM arr
+),
+chunks AS (
+  SELECT doc_id, CAST(g.k AS INT) AS chunk_idx,
+         list_slice(w, g.k * 48 + 1, least(g.k * 48 + 64, n)) AS cw
+  FROM k, unnest(generate_series(0, k_max)) AS g(k)
+)
+SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
+       array_to_string(cw, ' ') AS chunk_text
+FROM chunks
+"""
+
+
+@register("doc_chunks", _CHUNKS_SQL)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-word windows advancing by 48 (16-word overlap),
+    last chunk ending at the final word — the retrieval-corpus prep step
+    before embedding/indexing. Zero-shuffle: split + bounded sequence
+    explode + per-row slice ride the parquet scan inside codegen; chunk
+    arithmetic is integer-only so both engines agree bit-for-bit."""
+    from data_harvesting_spark.operators.quality import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_words=64, stride=48)
+
+
+# --------------------------------------------------------- semantic dedup
+_SEMDEDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS aid, v AS av FROM e
+  WHERE vec_id % 37 = 0 AND vec_id < 2368
+),
+assigned AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT e.vec_id, e.v, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN anchors a) t WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+)
+SELECT s.vec_id, s.cell
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding table: nearest-
+    anchor cells (deterministic data-anchor quantizer — the oracle
+    reproduces it exactly), within-cell pairwise cosine, drop any vector
+    with a smaller-id cell-mate ≥ 0.45. Output = kept (vec_id, cell)."""
+    from data_harvesting_spark.operators.similarity import (
+        semantic_dedup_anchors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_anchors(emb, threshold=0.45)

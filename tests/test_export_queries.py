@@ -216,3 +216,110 @@ def test_embedding_elbow_k_oracle_and_semantics(spark):
     assert (ks[ks.index % 3 == 0] == 1).all()  # constant regime
     assert (ks[ks.index % 3 == 1] == 1).all()  # two-point regime
     assert (ks[ks.index % 3 == 2] == 2).all()  # three-blob regime
+
+
+def test_doc_lm_score_oracle_plan_and_semantics(spark):
+    """Perplexity-proxy score matches the oracle; the vocabulary join is
+    broadcast (plan-asserted); rarer-token docs score higher."""
+    plan, got = _oracle_parity(spark, "doc_lm_score", ["doc_id"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert (got["lm_score"] > 0).all()
+    # sanity: scores vary across docs (a constant score would mean the
+    # join degenerated) and every scored doc counted its tokens
+    assert got["lm_score"].nunique() > 1
+    assert (got["n_tokens"] > 0).all()
+
+
+def test_doc_chunks_oracle_plan_and_semantics(spark):
+    """Chunking matches the oracle; zero exchange (rides the scan); the
+    chunk layout tiles each document: first chunk starts at word 1,
+    consecutive chunks overlap by exactly chunk_words - stride when full,
+    and the last chunk ends at the document's final word."""
+    import pandas as pd
+
+    plan, got = _oracle_parity(spark, "doc_chunks", ["doc_id", "chunk_idx"])
+    assert "Exchange" not in plan
+    # per-doc layout invariants (64/48)
+    duck = duck_on_sf(
+        "SELECT doc_id, len(string_split(trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n "
+        "FROM documents WHERE length(trim(text)) > 0",
+        SF_ORACLE,
+    ).set_index("doc_id")["n"]
+    for doc_id, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        n = int(duck.loc[doc_id])
+        assert list(grp["chunk_idx"]) == list(range(len(grp)))
+        # every chunk but the last is full; coverage reaches the last word
+        assert (grp["n_words"].iloc[:-1] == 64).all()
+        last_start = (len(grp) - 1) * 48
+        assert last_start + grp["n_words"].iloc[-1] == n
+        # reassembling stride-prefixes + the last chunk = the document
+        words = []
+        for _, r in grp.iterrows():
+            cw = r["chunk_text"].split(" ")
+            words.extend(cw[:48] if r["chunk_idx"] < len(grp) - 1 else cw)
+        assert len(words) == n
+
+
+def test_chunk_documents_degenerate_inputs(spark):
+    """Empty text and single-word docs: no empty chunks, no crash; a doc
+    shorter than one chunk yields exactly one chunk."""
+    from data_harvesting_spark.operators.quality import chunk_documents
+
+    pdf = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "   "), (4, "solo"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(pdf, chunk_words=64, stride=48).toPandas()
+    assert set(got["doc_id"]) == {1, 4}
+    assert (got["chunk_idx"] == 0).all()
+    assert got.set_index("doc_id")["chunk_text"].to_dict() == {
+        1: "one two three", 4: "solo"
+    }
+
+
+def test_semantic_dedup_oracle_and_semantics(spark):
+    """SemDeDup-style kept-set matches the oracle; every dropped vector
+    has a smaller-id cell-mate within threshold (verified against the
+    exact all-pairs cosine table); kept ids are a subset of the corpus
+    with at least one survivor per cell."""
+    plan, got = _oracle_parity(spark, "semantic_dedup", ["vec_id"])
+    # the pair stage must be a same-cell equi-join, not a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    all_ids = duck_on_sf("SELECT vec_id FROM embeddings", SF_ORACLE)
+    assert set(got["vec_id"]) <= set(all_ids["vec_id"])
+    assert len(got) > 0
+    # dropped = ids absent from the kept set; each must have a smaller-id
+    # mate in the SAME cell with cosine >= 0.45 per the exact table
+    cells = duck_on_sf(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        anchors AS (SELECT vec_id aid, v av FROM e WHERE vec_id % 37 = 0 AND vec_id < 2368)
+        SELECT vec_id, aid AS cell FROM (
+          SELECT e.vec_id, a.aid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) rn
+          FROM e CROSS JOIN anchors a) t WHERE rn = 1
+        """,
+        SF_ORACLE,
+    ).set_index("vec_id")["cell"]
+    pairs = duck_on_sf(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        SELECT a.vec_id va, b.vec_id vb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        SF_ORACLE,
+    )
+    dropped = set(all_ids["vec_id"]) - set(got["vec_id"])
+    assert dropped, "fixture should contain within-cell near-dups"
+    mates = pairs.groupby("vb")["va"].apply(set)
+    for vid in dropped:
+        assert any(
+            cells.loc[m] == cells.loc[vid] for m in mates.get(vid, set())
+        ), f"{vid} dropped without a same-cell smaller-id near-dup"
+    # survivors-per-cell: the smallest id of every cell is always kept
+    smallest = cells.reset_index().groupby("cell")["vec_id"].min()
+    assert set(smallest) <= set(got["vec_id"])
