@@ -147,3 +147,31 @@ def fingerprint(col: Column | str, k: int = 8) -> Column:
     )
     smallest = F.slice(F.array_sort(F.array_distinct(shingles)), 1, k)
     return F.xxhash64(F.concat_ws("\x1f", smallest))
+
+
+# Blocklist gate (C4-style "bad words" filter, Raffel et al. 2020: drop any
+# document containing a blocklisted word). The list is injectable; the
+# pinned demo list uses corpus-present words so the gate's both branches
+# are exercised at every sf. At scale the list is a broadcast constant
+# folded into the scan filter — zero shuffle, zero Python.
+DEMO_BLOCKLIST = ["slow", "dup", "deadlock"]
+
+
+def blocklist_hits(col: Column | str, words: list[str] | None = None) -> Column:
+    """Count of blocklisted WORD occurrences (whole-word: 'slow' never
+    matches inside 'slowest'). Internal spaces are DOUBLED before the
+    length-arithmetic count so adjacent words don't share a delimiter —
+    without it ``replace`` is non-overlapping left-to-right and
+    'dup dup dup' would count 2, not 3 (the same shared-separator pitfall
+    the BPE replace-chain wraps symbols to avoid). Identical semantics in
+    any ANSI engine, same machinery as quality_features."""
+    if words is None:
+        words = DEMO_BLOCKLIST
+    c = F.col(col) if isinstance(col, str) else col
+    spaced = F.replace(normalize_text(c), F.lit(" "), F.lit("  "))
+    padded = F.concat(F.lit(" "), spaced, F.lit(" "))
+    total = None
+    for w in words:
+        hit = _occurrences(padded, f" {w} ")
+        total = hit if total is None else total + hit
+    return total.cast("bigint")

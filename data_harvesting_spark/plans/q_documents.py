@@ -1830,3 +1830,40 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semantic_dedup_anchors(emb, threshold=0.45)
+
+
+# ----------------------------------------------------------- blocklist gate
+_BADWORDS_SQL = """
+WITH padded AS (
+  SELECT doc_id, lang,
+         ' ' || replace(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                        ' ', '  ') || ' ' AS p
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         CAST((length(p) - length(replace(p, ' slow ', ''))) / 6
+            + (length(p) - length(replace(p, ' dup ', ''))) / 5
+            + (length(p) - length(replace(p, ' deadlock ', ''))) / 10
+            AS BIGINT) AS n_blocked
+  FROM padded
+)
+SELECT doc_id, lang, n_blocked, n_blocked > 0 AS flagged FROM hits
+"""
+
+
+@register("doc_badwords", _BADWORDS_SQL)
+def q_doc_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2: drop documents
+    containing blocklisted words): whole-word occurrence counts via
+    length arithmetic over the broadcast-constant list — folded into the
+    scan, zero shuffle, zero Python. ``flagged`` is the drop decision;
+    the count supports threshold variants. List injectable
+    (`functions/text.py::blocklist_hits`), demo list pinned."""
+    from data_harvesting_spark.functions.text import blocklist_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = blocklist_hits("text")
+    return docs.select(
+        "doc_id", "lang", n.alias("n_blocked"), (n > 0).alias("flagged")
+    )

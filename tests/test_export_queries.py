@@ -323,3 +323,20 @@ def test_semantic_dedup_oracle_and_semantics(spark):
     # survivors-per-cell: the smallest id of every cell is always kept
     smallest = cells.reset_index().groupby("cell")["vec_id"].min()
     assert set(smallest) <= set(got["vec_id"])
+
+
+def test_doc_badwords_oracle_and_semantics(spark):
+    """Blocklist gate matches the oracle; zero exchange (rides the scan);
+    both branches populated; whole-word matching only (the common word
+    'slow' counts, but no substring of a longer word does)."""
+    plan, got = _oracle_parity(spark, "doc_badwords", ["doc_id"])
+    assert "Exchange" not in plan
+    assert got["flagged"].any() and (~got["flagged"]).any()
+    assert (got["n_blocked"] >= 0).all()
+    from data_harvesting_spark.functions.text import blocklist_hits
+
+    pdf = spark.createDataFrame(
+        [(1, "slow query"), (2, "slowest query"), (3, "dup dup Dup")],
+        "doc_id long, text string",
+    ).select("doc_id", blocklist_hits("text").alias("n")).toPandas()
+    assert pdf.set_index("doc_id")["n"].to_dict() == {1: 1, 2: 0, 3: 3}
