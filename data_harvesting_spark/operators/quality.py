@@ -518,3 +518,80 @@ def chunk_documents(
         F.size("cw").alias("n_words"),
         F.array_join("cw", " ").alias("chunk_text"),
     )
+
+
+def lm_score_bigram(
+    docs: DataFrame, lm_corpus: DataFrame | None = None
+) -> DataFrame:
+    """Bigram conditional LM score — one interpolation step closer to the
+    KenLM stage of CCNet than ``lm_score``: per document, the mean
+    add-one-smoothed negative log of p(w_i | w_{i-1}) =
+    (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V) over its bigram positions
+    (docs with < 2 tokens have no bigram positions and are excluded,
+    exactly as a conditional model scores nothing).
+
+    Scale posture: bigrams are built ARRAY-SIDE per row (`zip_with` over
+    the shifted word array — no shuffle, same trick as repetition_stats),
+    so training is one bigram hash-agg + one word hash-agg over the LM
+    corpus; scoring joins against BOTH tables broadcast (bigram
+    vocabulary is Heaps-bounded like the unigram one; at 100 TB cap to
+    top-K by mass, unseen bigrams take the smoothing floor — identical
+    contract to lm_score). round(·, 6) float discipline.
+    """
+    from data_harvesting_spark.functions.bpe import word_frequencies
+
+    if lm_corpus is None:
+        lm_corpus = docs
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]", ""), r" +", " "
+        )
+    )
+    w_arr = F.split(norm, " ")
+    bigrams_of = lambda d: d.select(  # noqa: E731
+        F.col("doc_id"),
+        F.when(F.length(norm) > 0, w_arr).otherwise(F.array()).alias("w"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    uni = word_frequencies(lm_corpus, "text").withColumnRenamed("word", "prev")
+    bi = (
+        bigrams_of(lm_corpus)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bfreq"))
+    )
+    v_size = uni.agg(F.count("*").alias("v_size"))
+
+    scored = (
+        bigrams_of(docs)
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(F.broadcast(uni), "prev", "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("bfreq"), F.lit(0)) + 1)
+                    / (
+                        F.coalesce(F.col("freq"), F.lit(0)) + F.col("v_size")
+                    ).cast("double")
+                )
+            ).alias("neg_logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("neg_logp"), 6).alias("lm_bigram_score"),
+    )

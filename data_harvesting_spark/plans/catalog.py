@@ -75,6 +75,7 @@ _WINDOW_TAIL = [
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "doc_quality",
+    "doc_lang_id",
     "tpch_q1",
     "orders_by_nation",
     "value_buckets",

@@ -1867,3 +1867,54 @@ def q_doc_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", n.alias("n_blocked"), (n > 0).alias("flagged")
     )
+
+
+# ------------------------------------------------------- bigram LM score
+_LM_BIGRAM_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_DOC_SQL} AS t FROM documents
+),
+words AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(t, ' ')) AS w,
+           generate_subscripts(string_split(t, ' '), 1) AS pos
+    FROM norm WHERE t <> '') x WHERE w <> ''
+),
+bigrams AS (
+  SELECT doc_id, w AS prev,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+  FROM words
+),
+bg AS (SELECT doc_id, prev, cur FROM bigrams WHERE cur IS NOT NULL),
+uni AS (
+  SELECT w AS prev, CAST(count(*) AS BIGINT) AS freq
+  FROM words GROUP BY w
+),
+bi AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS bfreq
+  FROM bg GROUP BY prev, cur
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((COALESCE(b.bfreq, 0) + 1)
+                     / CAST(COALESCE(u.freq, 0) + v.v_size AS DOUBLE))),
+             6) AS lm_bigram_score
+FROM bg d
+LEFT JOIN bi b ON d.prev = b.prev AND d.cur = b.cur
+LEFT JOIN uni u ON d.prev = u.prev
+CROSS JOIN v
+GROUP BY d.doc_id
+"""
+
+
+@register("doc_lm_score_bigram", _LM_BIGRAM_SQL)
+def q_doc_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM quality score (one step closer to CCNet's
+    KenLM stage than the unigram `doc_lm_score`): mean add-one-smoothed
+    -ln p(w_i | w_(i-1)). Bigrams built array-side per row (zip_with — no
+    shuffle); both model tables broadcast for scoring."""
+    from data_harvesting_spark.operators.quality import lm_score_bigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score_bigram(docs)

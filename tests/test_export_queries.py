@@ -340,3 +340,16 @@ def test_doc_badwords_oracle_and_semantics(spark):
         "doc_id long, text string",
     ).select("doc_id", blocklist_hits("text").alias("n")).toPandas()
     assert pdf.set_index("doc_id")["n"].to_dict() == {1: 1, 2: 0, 3: 3}
+
+
+def test_doc_lm_score_bigram_oracle_and_semantics(spark):
+    """Bigram conditional score matches the oracle; model tables join
+    broadcast; a repetitive doc (high bigram predictability) scores lower
+    than under the unigram model relative to corpus mean."""
+    plan, got = _oracle_parity(spark, "doc_lm_score_bigram", ["doc_id"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert (got["lm_bigram_score"] > 0).all()
+    assert got["lm_bigram_score"].nunique() > 1
+    # conditional model: every scored doc has >= 1 bigram (>= 2 tokens)
+    assert (got["n_bigrams"] >= 1).all()

@@ -122,3 +122,50 @@ def test_session_id_array_matches_bruteforce(ts_offsets, gap_s):
     # ids are non-decreasing and the frame is time-ordered
     assert (np.diff(sids) >= 0).all()
     assert out["ts"].is_monotonic_increasing
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=400),
+    chunk_words=st.integers(min_value=2, max_value=80),
+    stride_frac=st.floats(min_value=0.25, max_value=1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_layout_matches_bruteforce(n_words, chunk_words, stride_frac):
+    """The integer chunk-count arithmetic in chunk_documents (k_max =
+    ceil((n - W)/stride) via (n - W + stride - 1) div stride) produces the
+    canonical overlapping-window tiling for every (n, W, stride): chunks
+    start at k*stride, all but the last are full, the last ends exactly at
+    word n, and every word is covered."""
+    stride = max(1, int(chunk_words * stride_frac))
+    # brute force: slide until the window end reaches n
+    want = []
+    k = 0
+    while True:
+        start = k * stride
+        if n_words == 0 or (k > 0 and start + chunk_words - stride >= n_words):
+            break
+        end = min(start + chunk_words, n_words)
+        want.append((k, start, end))
+        if end == n_words:
+            break
+        k += 1
+    # the implementation's closed form
+    if n_words == 0:
+        k_max = None
+    elif n_words <= chunk_words:
+        k_max = 0
+    else:
+        k_max = (n_words - chunk_words + stride - 1) // stride
+    got = []
+    if k_max is not None:
+        for k in range(k_max + 1):
+            start = k * stride
+            end = min(start + chunk_words, n_words)
+            got.append((k, start, end))
+    assert [g[1:] for g in got] == [w[1:] for w in want] or got == want, (
+        n_words, chunk_words, stride, got, want
+    )
+    if got:
+        assert got[-1][2] == n_words          # coverage reaches the end
+        assert all(e - s == chunk_words for _, s, e in got[:-1])
+        assert got[0][1] == 0
