@@ -464,3 +464,128 @@ def semantic_dedup_anchors(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def _pq_codes_udf(codebooks: np.ndarray, aids: np.ndarray):
+    """pandas UDF: per vector, the nearest-code id in each subspace
+    (squared-L2 argmin, smallest aid on ties). codebooks: (n_codes,
+    n_sub, sub_dim)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_codes, n_sub, sub_dim = codebooks.shape
+
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        x = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
+        x = x.reshape(len(x), n_sub, sub_dim)
+        out = []
+        # (B, n_sub, n_codes) squared distances per subspace
+        for s in range(n_sub):
+            d = ((x[:, s, None, :] - codebooks[None, :, s, :]) ** 2).sum(-1)
+            # argmin with smallest-aid tie-break: aids are sorted ASC and
+            # np.argmin returns the FIRST minimum
+            out.append(aids[np.argmin(d, axis=1)])
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return codes
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    anchor_mod: int = 37,
+    max_anchor_id: int = 37 * 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011) — the third classic ANN family next to the LSH
+    and IVF paths: each vector is compressed to ``n_sub`` code ids
+    (nearest codebook entry per subvector, squared-L2), and a query
+    scores every corpus vector by summing its per-subspace distances to
+    the STORED codes (ADC) — the corpus is scanned as codes (bytes), not
+    vectors, which is PQ's published memory/bandwidth win; combine with
+    the IVF cells for sublinear candidate sets at 100 TB (IVF-PQ).
+
+    Deterministic data-anchor codebooks (the sub-vectors of the same
+    anchor rows the IVF quantizer uses), so the whole pipeline — codes,
+    distance tables, ADC ranks — is reproducible in any engine and this
+    path is value-checked against a full DuckDB oracle.
+
+    Plan: ONE Arrow-batched UDF pass codes the corpus; the per-query
+    distance tables (|queries| × n_codes × n_sub rows) are broadcast; the
+    scoring is n_sub broadcast equi-joins summed column-wise — zero
+    shuffle until the final per-query top-k window (same posture as the
+    brute-force baseline, minus the vector arithmetic).
+    """
+    rows = (
+        embeddings.where(
+            (F.col(id_col) % anchor_mod == 0) & (F.col(id_col) < max_anchor_id)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no anchor rows — see cosine_topk_ivf_anchors")
+    aids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dim = mat.shape[1]
+    assert dim % n_sub == 0, f"dim {dim} not divisible by n_sub {n_sub}"
+    sub_dim = dim // n_sub
+    codebooks = mat.reshape(len(aids), n_sub, sub_dim)
+
+    codes = _pq_codes_udf(codebooks, aids)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), codes(F.col(vec_col)).alias("c")
+    ).select(
+        "neighbor_id",
+        *[F.element_at("c", s + 1).alias(f"c{s}") for s in range(n_sub)],
+    )
+
+    # per-query distance tables, computed driver-side from the bounded
+    # query collect (queries are a designated small set, like the other
+    # ANN paths' probes; the table is |queries| * n_codes * n_sub rows)
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    spark = embeddings.sparkSession
+    dtab_rows = []
+    for qr in qrows:
+        q = np.asarray(qr[1], dtype=np.float64).reshape(n_sub, sub_dim)
+        for s in range(n_sub):
+            d = ((codebooks[:, s, :] - q[None, s, :]) ** 2).sum(-1)
+            for aid, dv in zip(aids, d):
+                # the distance TABLE is quantized (round 6) before the ADC
+                # sum — real PQ quantizes dtables to 8-bit for SIMD; here
+                # the same move makes the cross-engine sum exact (both
+                # engines add identical rounded doubles, so ranks can
+                # never flip on a last-ulp summation-order difference)
+                dtab_rows.append((int(qr[0]), s, int(aid), round(float(dv), 6)))
+    dtab = spark.createDataFrame(
+        dtab_rows, "query_id long, s int, aid long, d double"
+    )
+
+    scored = corpus
+    for s in range(n_sub):
+        ds = (
+            dtab.where(F.col("s") == s)
+            .select("query_id", F.col("aid").alias(f"c{s}"),
+                    F.col("d").alias(f"d{s}"))
+        )
+        on = [f"c{s}"] if s == 0 else ["query_id", f"c{s}"]
+        scored = scored.join(F.broadcast(ds), on)
+    adist = sum(F.col(f"d{s}") for s in range(n_sub))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("adist", adist)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("adist", 6).alias("adist"))
+    )

@@ -1918,3 +1918,63 @@ def q_doc_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lm_score_bigram(docs)
+
+
+# ---------------------------------------------------------------- PQ-ADC ANN
+_PQ_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS aid, v AS av FROM e
+  WHERE vec_id % 7 = 0 AND vec_id < 3584
+),
+subspaces AS (SELECT s FROM (VALUES (0), (1), (2), (3)) t(s)),
+-- squared L2 between the s-th 16-dim subvectors
+dists AS (
+  SELECT e.vec_id, a.aid, sub.s,
+         list_sum(list_transform(
+           list_zip(e.v[sub.s*16+1 : sub.s*16+16],
+                    a.av[sub.s*16+1 : sub.s*16+16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+  FROM e CROSS JOIN anchors a CROSS JOIN subspaces sub
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, s, aid AS code FROM (
+    SELECT vec_id, s, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, aid ASC) AS rn
+    FROM dists) t WHERE rn = 1
+),
+dtab AS (
+  SELECT vec_id AS query_id, s, aid, round(d, 6) AS d
+  FROM dists WHERE vec_id % 50 = 0
+),
+adc AS (
+  SELECT t.query_id, c.neighbor_id,
+         sum(t.d) AS adist
+  FROM codes c JOIN dtab t ON c.s = t.s AND c.code = t.aid
+  WHERE c.neighbor_id <> t.query_id
+  GROUP BY t.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM adc) t
+WHERE rank <= 5
+"""
+
+
+@register("ann_pq_topk", _PQ_SQL)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (Jégou et al. 2011) with deterministic data-anchor
+    codebooks — the third classic ANN family beside the LSH and IVF
+    paths, fully oracle-checked: corpus coded to 4 sub-space code ids,
+    queries score codes via a quantized distance table (round-6, the
+    cross-engine-exact stand-in for PQ's 8-bit dtable quantization)."""
+    from data_harvesting_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(emb, queries, k=5, n_sub=4, anchor_mod=7,
+                       max_anchor_id=7 * 512)

@@ -353,3 +353,31 @@ def test_doc_lm_score_bigram_oracle_and_semantics(spark):
     assert got["lm_bigram_score"].nunique() > 1
     # conditional model: every scored doc has >= 1 bigram (>= 2 tokens)
     assert (got["n_bigrams"] >= 1).all()
+
+
+def test_ann_pq_topk_oracle_and_recall(spark):
+    """PQ-ADC matches the oracle end to end (codes, quantized distance
+    tables, ranks); recall@5 vs the exact cosine brute force is sane for
+    a 4x16 codebook quantization; scoring joins are broadcast."""
+    plan, got = _oracle_parity(spark, "ann_pq_topk", ["query_id", "rank"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert got.groupby("query_id")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1))
+    ).all()
+    # recall vs exact L2 top-5 (PQ approximates L2, not cosine)
+    exact = duck_on_sf(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id query_id, x.vec_id neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.v, x.v) ASC, x.vec_id ASC) rn
+          FROM e q JOIN e x ON x.vec_id <> q.vec_id
+          WHERE q.vec_id % 50 = 0) t WHERE rn <= 5
+        """,
+        SF_ORACLE,
+    )
+    hits = got.merge(exact, on=["query_id", "neighbor_id"])
+    recall = len(hits) / len(exact)
+    assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
