@@ -589,3 +589,119 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.round("adist", 6).alias("adist"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    cell_mod: int = 37,
+    cell_max: int = 37 * 64,
+    code_mod: int = 7,
+    code_max: int = 7 * 512,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (Jégou et al.
+    2011; FAISS's IVFPQ index) — IVF cells prune the corpus to the probed
+    cells' members, PQ-ADC ranks ONLY those candidates from compressed
+    codes. Sublinear candidate generation + code-width memory traffic:
+    at 100 TB neither a full scan (PQ alone) nor exact vectors per
+    candidate (IVF alone) survive; this is the index that does.
+
+    Both stages reuse their independently oracle-proven deterministic
+    quantizers (cosine data-anchor cells = `cosine_topk_ivf_anchors`;
+    L2 data-anchor codebooks + round-6 dtable = `pq_adc_topk`), so the
+    composition is itself value-checkable end to end. Residual encoding
+    (PQ over x - centroid) is the published quality upgrade; this is the
+    residual-free variant, divergence documented.
+    """
+    # --- cells (cosine data anchors, as the IVF path) ---
+    cell_rows = (
+        embeddings.where(
+            (F.col(id_col) % cell_mod == 0) & (F.col(id_col) < cell_max)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not cell_rows:
+        raise ValueError("no cell anchor rows")
+    cell_ids = np.array([r[0] for r in cell_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cell_rows])
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    # --- PQ codebooks (L2 data anchors, as the PQ path) ---
+    code_rows = (
+        embeddings.where(
+            (F.col(id_col) % code_mod == 0) & (F.col(id_col) < code_max)
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not code_rows:
+        raise ValueError("no codebook anchor rows")
+    aids = np.array([r[0] for r in code_rows], dtype=np.int64)
+    amat = np.stack([np.asarray(r[1], dtype=np.float64) for r in code_rows])
+    dim = amat.shape[1]
+    assert dim % n_sub == 0
+    sub_dim = dim // n_sub
+    codebooks = amat.reshape(len(aids), n_sub, sub_dim)
+
+    assign1 = _assign_cells_udf(cmat, 1, cell_ids)
+    codes = _pq_codes_udf(codebooks, aids)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        codes(F.col(vec_col)).alias("c"),
+    ).select(
+        "neighbor_id", "cell",
+        *[F.element_at("c", s + 1).alias(f"c{s}") for s in range(n_sub)],
+    )
+
+    probe = _assign_cells_udf(cmat, nprobe, cell_ids)
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    spark = embeddings.sparkSession
+    dtab_rows = []
+    for qr in qrows:
+        q = np.asarray(qr[1], dtype=np.float64).reshape(n_sub, sub_dim)
+        for s in range(n_sub):
+            d = ((codebooks[:, s, :] - q[None, s, :]) ** 2).sum(-1)
+            for aid, dv in zip(aids, d):
+                dtab_rows.append((int(qr[0]), s, int(aid), round(float(dv), 6)))
+    dtab = spark.createDataFrame(
+        dtab_rows, "query_id long, s int, aid long, d double"
+    )
+
+    cand = corpus.join(F.broadcast(q_probes.distinct()), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand
+    for s in range(n_sub):
+        ds = (
+            dtab.where(F.col("s") == s)
+            .select("query_id", F.col("aid").alias(f"c{s}"),
+                    F.col("d").alias(f"d{s}"))
+        )
+        scored = scored.join(F.broadcast(ds), ["query_id", f"c{s}"])
+    adist = sum(F.col(f"d{s}") for s in range(n_sub))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("adist", 6).alias("adist"))
+    )

@@ -76,6 +76,7 @@ _WINDOW_TAIL = [
     "ngram_jaccard_dups",
     "doc_quality",
     "doc_lang_id",
+    "harvest_rates_tool",
     "tpch_q1",
     "orders_by_nation",
     "value_buckets",

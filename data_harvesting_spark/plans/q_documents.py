@@ -1978,3 +1978,84 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return pq_adc_topk(emb, queries, k=5, n_sub=4, anchor_mod=7,
                        max_anchor_id=7 * 512)
+
+
+# ---------------------------------------------------------------- IVF-PQ ANN
+_IVFPQ_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cell_anchors AS (
+  SELECT vec_id AS aid, v AS av FROM e
+  WHERE vec_id % 37 = 0 AND vec_id < 2368
+),
+assigned AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN cell_anchors a) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN cell_anchors a WHERE e.vec_id % 50 = 0) t WHERE rn <= 4
+),
+code_anchors AS (
+  SELECT vec_id AS aid, v AS av FROM e
+  WHERE vec_id % 7 = 0 AND vec_id < 3584
+),
+subspaces AS (SELECT s FROM (VALUES (0), (1), (2), (3)) t(s)),
+dists AS (
+  SELECT e.vec_id, a.aid, sub.s,
+         list_sum(list_transform(
+           list_zip(e.v[sub.s*16+1 : sub.s*16+16],
+                    a.av[sub.s*16+1 : sub.s*16+16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+  FROM e CROSS JOIN code_anchors a CROSS JOIN subspaces sub
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, s, aid AS code FROM (
+    SELECT vec_id, s, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, aid ASC) AS rn
+    FROM dists) t WHERE rn = 1
+),
+dtab AS (
+  SELECT vec_id AS query_id, s, aid, round(d, 6) AS d
+  FROM dists WHERE vec_id % 50 = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(t.d) AS adist
+  FROM cand c
+  JOIN codes k ON k.neighbor_id = c.neighbor_id
+  JOIN dtab t ON t.query_id = c.query_id AND t.s = k.s AND t.aid = k.code
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM adc) t
+WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_topk", _IVFPQ_SQL)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS's billion-scale default): IVF cells prune candidates
+    (cosine data anchors, as `ann_ivf_topk`), PQ-ADC ranks them from
+    compressed codes (L2 data-anchor codebooks + round-6 dtable, as
+    `ann_pq_topk`) — the composition every 100 TB vector index runs,
+    value-checked end to end."""
+    from data_harvesting_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(emb, queries, k=5, nprobe=4)

@@ -381,3 +381,37 @@ def test_ann_pq_topk_oracle_and_recall(spark):
     hits = got.merge(exact, on=["query_id", "neighbor_id"])
     recall = len(hits) / len(exact)
     assert recall >= 0.2, f"PQ recall@5 collapsed: {recall}"
+
+
+def test_ann_ivfpq_topk_oracle_and_containment(spark):
+    """IVF-PQ matches the oracle; every returned neighbor is a member of
+    a probed cell (candidate containment in the IVF path's candidate
+    set); scoring joins are broadcast."""
+    plan, got = _oracle_parity(spark, "ann_ivfpq_topk", ["query_id", "rank"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    ivf_cand = duck_on_sf(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        anchors AS (SELECT vec_id aid, v av FROM e WHERE vec_id % 37 = 0 AND vec_id < 2368),
+        assigned AS (
+          SELECT vec_id, aid AS cell FROM (
+            SELECT e.vec_id, a.aid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) rn
+            FROM e CROSS JOIN anchors a) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, aid AS cell FROM (
+            SELECT e.vec_id, a.aid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) rn
+            FROM e CROSS JOIN anchors a WHERE e.vec_id % 50 = 0) t WHERE rn <= 4)
+        SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+        FROM probes p JOIN assigned s ON p.cell = s.cell
+        WHERE s.vec_id <> p.query_id
+        """,
+        SF_ORACLE,
+    )
+    cand = set(map(tuple, ivf_cand[["query_id", "neighbor_id"]].values))
+    assert all(
+        (q, n) in cand
+        for q, n in got[["query_id", "neighbor_id"]].values
+    )
