@@ -595,3 +595,88 @@ def lm_score_bigram(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("neg_logp"), 6).alias("lm_bigram_score"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: "F.Column | None" = None,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """DSIR importance-resampling scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of its hashed n-gram features under a
+    target-vs-raw bag-of-hashed-ngrams model, the published recipe for
+    "make the pretraining mix look like the target domain".
+
+    Features are word unigrams + bigrams hashed into ``n_buckets`` buckets
+    (portable 60-bit md5 ids — the same cross-engine hash contract as the
+    dedup family). With add-one smoothing,
+
+        score(doc) = sum over feature OCCURRENCES f of
+                     ln( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+    ``target`` is a boolean Column marking the target-domain rows inside
+    ``docs`` (DSIR's target sample rides the same table here; an external
+    target corpus is the same two aggregates unioned in).
+
+    Scale posture — the reason DSIR hashes features at all: the model is
+    ``n_buckets`` floats REGARDLESS of corpus size. Pass 1 is one
+    K-key hash aggregate over the exploded features (map-side partials,
+    shuffle volume O(partitions x K)); the K ratio rows come back to the
+    driver (the bounded allreduce, K=128 doubles) and are re-emitted as an
+    array literal, so pass 2 — the actual scoring — is a ZERO-SHUFFLE
+    per-row JVM expression (``aggregate(transform(feats, ...))``) riding
+    the scan. No join, no exchange, nothing row-shaped at the driver.
+
+    Returns (doc_id, n_feats, dsir_score) for every input row — documents
+    with no features score 0.0 on 0 features. Deterministic; round-6
+    output gate (sum-order ulp noise only, same argument as lm_score).
+    """
+    if target is None:
+        target = F.col("source") == "src0"
+
+    norm = normalize_text("text")
+    base = docs.select(
+        "doc_id",
+        target.alias("is_t"),
+        F.filter(F.split(norm, " "), lambda x: x != "").alias("w"),
+    ).withColumn("feats", F.concat(F.col("w"), F.expr(_BIGRAMS))).drop("w")
+
+    bucket_of = lambda c: (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+    cnt = (
+        base.select("is_t", F.explode("feats").alias("f"))
+        .select("is_t", bucket_of(F.col("f")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        )
+        .collect()
+    )
+    n_all = sum(r["c_all"] for r in cnt)
+    n_t = sum(r["c_t"] for r in cnt)
+    import math
+
+    lr = [0.0] * n_buckets
+    c_all = {r["b"]: r["c_all"] for r in cnt}
+    c_t = {r["b"]: r["c_t"] for r in cnt}
+    for b in range(n_buckets):
+        p_t = (c_t.get(b, 0) + 1.0) / (n_t + n_buckets)
+        p_all = (c_all.get(b, 0) + 1.0) / (n_all + n_buckets)
+        lr[b] = math.log(p_t / p_all)
+    lr_lit = F.array(*[F.lit(v) for v in lr])
+
+    per_feat = F.transform(
+        F.col("feats"), lambda f: F.element_at(lr_lit, (bucket_of(f) + 1).cast("int"))
+    )
+    return base.select(
+        "doc_id",
+        F.size("feats").cast("bigint").alias("n_feats"),
+        F.round(
+            F.aggregate(per_feat, F.lit(0.0), lambda acc, y: acc + y), 6
+        ).alias("dsir_score"),
+    )

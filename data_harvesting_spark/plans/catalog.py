@@ -72,6 +72,9 @@ _WINDOW_FRONT = [
 
 _WINDOW_TAIL = [
     # green in rounds 1-3, untouched since — safe to rotate past the window
+    "sessionize",
+    "harvest_rates_role_sliding",
+    "dataset_split",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "doc_quality",

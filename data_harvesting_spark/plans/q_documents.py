@@ -2059,3 +2059,141 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(emb, queries, k=5, nprobe=4)
+
+
+# ------------------------------------------------------- PCA power iteration
+# Top-principal-component extraction over the embedding corpus — the
+# dominant-direction analog of the reference's dominant-color centroids
+# (`utils/ColorDetector.py:93-119`), and the whitening primitive every
+# embedding-dedup pipeline runs before cosine thresholds. With a FIXED
+# iteration count and deterministic init the whole power loop is
+# SQL-unrollable (the `embedding_kmeans_k2` precedent): each iteration is
+# one matvec s=Xc·v (per-row) and one reduction w=Xcᵀs/n (per-dim).
+
+
+def _pca_iter_sql(i: int, prev: str) -> str:
+    return f"""
+s{i} AS (
+  SELECT xc.vec_id, sum(xc.val * {prev}.vv) AS s
+  FROM xc JOIN {prev} USING (dim) GROUP BY xc.vec_id
+),
+w{i} AS (
+  SELECT xc.dim, sum(xc.val * s{i}.s) / (SELECT n FROM nn) AS w
+  FROM xc JOIN s{i} USING (vec_id) GROUP BY xc.dim
+),
+v{i} AS (
+  SELECT dim, w / sqrt((SELECT sum(w * w) FROM w{i})) AS vv FROM w{i}
+)"""
+
+
+_PCA_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+         unnest(v) AS val
+  FROM e
+),
+mu AS (SELECT dim, avg(val) AS mu FROM x GROUP BY dim),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+xc AS (SELECT x.vec_id, x.dim, x.val - mu.mu AS val FROM x JOIN mu USING (dim)),
+v0 AS (SELECT dim, 1.0 / sqrt((SELECT count(*) FROM mu)) AS vv FROM mu),
+{_pca_iter_sql(1, "v0")},
+{_pca_iter_sql(2, "v1")},
+{_pca_iter_sql(3, "v2")},
+nrm AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+sgn AS (
+  SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS sgn
+  FROM w3 ORDER BY abs(w) DESC, dim ASC LIMIT 1
+)
+SELECT w3.dim AS dim_idx,
+       round(sgn.sgn * w3.w / nrm.nrm, 6) AS pc1,
+       round(nrm.nrm, 6) AS eigval
+FROM w3, nrm, sgn
+"""
+
+
+@register("embedding_pca_power", _PCA_SQL)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-PC via 3 power-iteration steps (matrix-free
+    Cov·v = Xcᵀ(Xc·v)/n): every data pass is a Spark aggregation — the
+    per-row dot rides the scan as JVM ``aggregate(zip_with(...))``, the
+    per-dim reduction is a d-key hash aggregate with map-side partials —
+    and only d-vectors cross the driver (the allreduce). Sign-fixed,
+    round-6, value-checked against the identical arithmetic unrolled in
+    SQL. Float headroom: same argument as `embedding_kmeans_k2` — the
+    only cross-engine divergence is sum-order ulp noise (≲1e-12 rel)
+    against a round-6 output gate."""
+    from data_harvesting_spark.operators.linalg import pca_power_top
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    return pca_power_top(emb, "v", n_iter=3)
+
+
+# ---------------------------------------------------------------- DSIR
+_DSIR_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, source, w, pos FROM (
+    SELECT doc_id, source,
+           unnest(string_split(t, ' ')) AS w,
+           generate_subscripts(string_split(t, ' '), 1) AS pos
+    FROM d) x WHERE w <> ''
+),
+big AS (
+  SELECT doc_id, source,
+         w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS f
+  FROM words
+),
+feats AS (
+  SELECT doc_id, source, w AS f FROM words
+  UNION ALL
+  SELECT doc_id, source, f FROM big WHERE f IS NOT NULL
+),
+bf AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 128 AS b
+  FROM feats
+),
+cnt AS (
+  SELECT b, count(*) AS c_all,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t
+  FROM bf GROUP BY b
+),
+tot AS (SELECT sum(c_all) AS n_all, sum(c_t) AS n_t FROM cnt),
+lr AS (
+  SELECT b,
+         ln(((c_t + 1.0) / (t.n_t + 128)) / ((c_all + 1.0) / (t.n_all + 128))) AS lrv
+  FROM cnt, tot t
+),
+per_doc AS (
+  SELECT bf.doc_id, count(*) AS n_feats, sum(lr.lrv) AS s
+  FROM bf JOIN lr USING (b) GROUP BY bf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_feats, 0) AS n_feats,
+       round(coalesce(p.s, 0.0), 6) AS dsir_score
+FROM d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("doc_dsir_score", _DSIR_SQL)
+def q_doc_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling scores (Xie et al. 2023) with
+    source='src0' as the target domain: hashed unigram+bigram
+    log-likelihood ratios. The hashed model is 128 floats regardless of
+    corpus size — pass 1 is a 128-key hash aggregate, pass 2 (scoring)
+    is a zero-shuffle per-row JVM expression over an array literal; the
+    oracle recomputes the identical arithmetic relationally."""
+    from data_harvesting_spark.operators.quality import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, n_buckets=128)

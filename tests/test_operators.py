@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -1114,3 +1115,105 @@ def test_workflow_similarity_banded_recall(spark):
 
     with _pytest.raises(ValueError):
         workflow_similarity(t, mode="nope")
+
+
+def test_embedding_pca_power_oracle_and_invariants(spark):
+    """Power-iteration top PC matches the unrolled SQL oracle value-for-
+    value; the returned component is unit-norm, sign-fixed (largest-|w|
+    dim positive), and eigval is positive. Empty input raises."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.operators.linalg import pca_power_top
+    from data_harvesting_spark.plans import catalog
+
+    got = (
+        catalog.spark_queries()["embedding_pca_power"](spark, SF_ORACLE)
+        .toPandas()
+        .sort_values("dim_idx")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck_on_sf(catalog.oracle_queries()["embedding_pca_power"], SF_ORACLE)
+        .sort_values("dim_idx")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    pc = got["pc1"].to_numpy()
+    assert abs(float(np.sqrt((pc * pc).sum())) - 1.0) < 1e-4  # unit norm
+    assert pc[int(np.abs(pc).argmax())] > 0  # sign convention
+    assert (got["eigval"] > 0).all()
+    assert len(got) == 64
+
+    # Convergence is a property of the SPECTRUM, not the engine: sf0.01's
+    # synthetic embeddings are near-isotropic (lambda2/lambda1 = 0.987,
+    # measured), where NO fixed-step power method separates the top PC —
+    # so convergence is asserted on a planted anisotropic fixture instead
+    # (dominant direction e0+e1 with 10x the variance of the rest).
+    rng = np.random.default_rng(7)
+    d = 8
+    dom = np.zeros(d)
+    dom[0] = dom[1] = 1.0 / np.sqrt(2.0)
+    pts = rng.normal(size=(400, d)) * 0.3 + np.outer(rng.normal(size=400) * 3.0, dom)
+    fx = spark.createDataFrame(
+        [([float(c) for c in row],) for row in pts], "v array<double>"
+    )
+    got_fx = (
+        pca_power_top(fx, "v", n_iter=5)
+        .toPandas()
+        .sort_values("dim_idx")["pc1"]
+        .to_numpy()
+    )
+    xc = pts - pts.mean(axis=0)
+    cov = xc.T @ xc / len(xc)
+    top = np.linalg.eigh(cov)[1][:, -1]
+    assert abs(float(np.dot(top, got_fx))) > 0.99, abs(float(np.dot(top, got_fx)))
+
+    with pytest.raises(ValueError):
+        pca_power_top(
+            spark.createDataFrame([], "v array<double>"), "v", n_iter=1
+        )
+
+
+def test_doc_dsir_score_oracle_and_direction(spark):
+    """DSIR hashed-ngram log-ratio scores match the relational oracle,
+    cover EVERY input row (empty docs score 0.0 on 0 features), and point
+    the right way: target-domain (src0) docs average a higher score than
+    the rest — the importance-resampling direction the method exists for.
+    The scoring pass is plan-checked shuffle-free (no Exchange)."""
+    from tests.conftest import SF_ORACLE, duck_on_sf
+
+    from data_harvesting_spark.operators.quality import dsir_weights
+    from data_harvesting_spark.plans import catalog
+
+    df = catalog.spark_queries()["doc_dsir_score"](spark, SF_ORACLE)
+    got = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        duck_on_sf(catalog.oracle_queries()["doc_dsir_score"], SF_ORACLE)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert len(got) == 500  # every document row survives
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    j = got.merge(docs.toPandas(), on="doc_id")
+    mean_t = j.loc[j.source == "src0", "dsir_score"].mean()
+    mean_o = j.loc[j.source != "src0", "dsir_score"].mean()
+    assert mean_t > mean_o, (mean_t, mean_o)
+
+    # scoring pass is a per-row expression over an array literal: no
+    # Exchange in the final plan (the counts pass ran eagerly before)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # empty doc scores 0.0 on 0 features
+    one = spark.createDataFrame(
+        [(1, "", "en", "srcX", 0)], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    row = dsir_weights(one).collect()[0]
+    assert row["n_feats"] == 0 and row["dsir_score"] == 0.0
