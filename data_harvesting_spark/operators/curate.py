@@ -267,3 +267,41 @@ def curate_keyed(
         "response_text",
         text_hash(F.col("response_text")).alias("text_hash"),
     )
+
+
+def context_window_trim(transcripts: DataFrame, budget: int) -> DataFrame:
+    """Suffix-budget context truncation — the serving/teacher-forcing
+    trim every LLM pipeline runs before packing a conversation into a
+    fixed window: keep the LONGEST SUFFIX of turns whose total
+    whitespace-token count fits ``budget`` (most-recent context wins),
+    never emitting an empty conversation — the final turn survives even
+    when it alone busts the budget. Reference analog: the harvester's
+    per-message frame cap keeps the newest frames when the buffer
+    overflows (`/root/reference/services/harvest_service.py:156-170`).
+
+    Scale posture: one reverse running-sum window and one per-conv max,
+    BOTH satisfied by a single hashpartitioning(conv_id) exchange — the
+    same one-exchange profile as ``curate``. No global sort, no
+    single-partition stage; at 100 TB the cost is one conversation-keyed
+    shuffle of the turn table.
+    """
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    w_rev = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_conv = Window.partitionBy("conv_id")
+    cum = (
+        transcripts.withColumn("n_tokens", n_tok.cast("int"))
+        .withColumn("ctx_tokens", F.sum("n_tokens").over(w_rev).cast("bigint"))
+        .withColumn("last_idx", F.max("turn_idx").over(w_conv))
+    )
+    return cum.where(
+        (F.col("ctx_tokens") <= F.lit(budget))
+        | (F.col("turn_idx") == F.col("last_idx"))
+    ).select(
+        "conv_id", "turn_idx", "role", "tool", "text", "n_tokens", "ctx_tokens"
+    )

@@ -559,3 +559,74 @@ def assign_components(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
     )
+
+
+def block_dedup(documents: DataFrame, block_words: int = 8) -> DataFrame:
+    """Exact SPAN dedup with document reassembly — the C4 / "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022) shape at
+    block granularity: split every document into non-overlapping
+    ``block_words``-word blocks, keep only the globally FIRST occurrence
+    of each distinct block (ordered by (doc_id, block_pos)), and rebuild
+    each document from its surviving blocks. Unlike ``exact_dedup`` (whole
+    doc) this removes boilerplate spans *inside* otherwise-unique
+    documents; block granularity stands in for the suffix-array exact
+    substring pass, which has no bounded-memory distributed form.
+
+    Every input row survives: a fully-duplicated document comes back with
+    ``clean_text=''`` (downstream length filters drop it), with
+    ``n_blocks`` / ``n_removed`` reporting the damage.
+
+    Scale posture: block construction is a per-row JVM expression
+    (``transform(sequence(...), slice(...))`` — no shuffle); keep-first is
+    ONE hash shuffle keyed by block text (dup groups are tiny, so the
+    per-key row_number never sees a skewed partition — at 100 TB swap the
+    key for ``xxhash64(btext)`` exactly like ``exact_dedup``); reassembly
+    is one doc_id aggregate whose ordered concat happens INSIDE the row
+    via ``array_sort(collect_list(struct(bpos, btext)))`` — no per-group
+    sort stage.
+    """
+    from pyspark.sql import Window
+
+    from data_harvesting_spark.functions.text import normalize_text
+
+    w = F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
+    d = documents.select("doc_id", w.alias("w")).withColumn(
+        "nb", F.ceil(F.size("w") / F.lit(block_words)).cast("int")
+    )
+    blocks = d.where(F.col("nb") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, nb - 1), "
+                f"i -> array_join(slice(w, i * {block_words} + 1, {block_words}), ' '))"
+            )
+        ).alias("bpos", "btext"),
+    )
+    first = Window.partitionBy("btext").orderBy("doc_id", "bpos")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bpos", "btext"))),
+                lambda s: s["btext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", F.col("nb").alias("n_blocks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_blocks",
+            (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

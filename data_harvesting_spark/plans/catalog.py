@@ -72,6 +72,7 @@ _WINDOW_FRONT = [
 
 _WINDOW_TAIL = [
     # green in rounds 1-3, untouched since — safe to rotate past the window
+    "stratified_sample",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2197,3 +2197,54 @@ def q_doc_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dsir_weights(docs, n_buckets=128)
+
+
+# ------------------------------------------------------ block-level span dedup
+_BLOCKDEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+           generate_subscripts(string_split(t, ' '), 1) AS pos
+    FROM d) x WHERE w <> ''
+),
+blocks AS (
+  SELECT doc_id, CAST(floor((pos - 1) / 8) AS INT) AS bpos,
+         string_agg(w, ' ' ORDER BY pos) AS btext
+  FROM words GROUP BY doc_id, CAST(floor((pos - 1) / 8) AS INT)
+),
+kept AS (
+  SELECT doc_id, bpos, btext FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY btext
+                                 ORDER BY doc_id, bpos) AS rn
+    FROM blocks) t WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, string_agg(btext, ' ' ORDER BY bpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_blocks FROM blocks GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(nb.n_blocks, 0) AS n_blocks,
+       CAST(coalesce(nb.n_blocks, 0) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+FROM d
+LEFT JOIN nb ON d.doc_id = nb.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("doc_block_dedup", _BLOCKDEDUP_SQL)
+def q_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Lee-style exact span dedup at 8-word-block granularity with
+    document reassembly: per-row JVM block construction, ONE block-text
+    shuffle for global keep-first, reassembly inside the row via
+    array_sort(collect_list(struct)) — no per-group sort stage."""
+    from data_harvesting_spark.operators.dedup import block_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return block_dedup(docs, block_words=8)

@@ -1019,3 +1019,51 @@ def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rj.reward").alias("rejected_reward"),
         )
     )
+
+
+# ------------------------------------------------------- context-window trim
+# The serving/teacher-forcing truncation every LLM pipeline runs before
+# packing a conversation into a fixed context window: keep the LONGEST
+# SUFFIX of turns whose total token count fits the budget (most-recent
+# context wins), never emitting an empty conversation — the final turn
+# survives even when it alone busts the budget. Reference analog: the
+# harvester's per-message frame cap (`/root/reference/services/
+# harvest_service.py:156-170` keeps the newest frames when the buffer
+# overflows).
+
+_CTX_BUDGET = 48
+
+_CTX_SQL = _with_t(f"""
+, tok AS (
+  SELECT conv_id, turn_idx, role, tool, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM transcripts
+),
+cum AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ctx_tokens,
+         max(turn_idx) OVER (PARTITION BY conv_id) AS last_idx
+  FROM tok
+)
+SELECT conv_id, turn_idx, role, tool, text,
+       CAST(n_tokens AS INT) AS n_tokens, ctx_tokens
+FROM cum
+WHERE ctx_tokens <= {_CTX_BUDGET} OR turn_idx = last_idx
+""")
+
+
+@register("context_trim", _CTX_SQL)
+def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-budget context truncation: one reverse running-sum window
+    and one per-conv max, BOTH satisfied by a single
+    hashpartitioning(conv_id) exchange — the same one-exchange profile as
+    `curate_pairs`. No global sort, no single-partition stage; at 100 TB
+    the cost is one conversation-keyed shuffle of the turn table."""
+    from data_harvesting_spark.operators.curate import context_window_trim
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return context_window_trim(t, budget=_CTX_BUDGET)

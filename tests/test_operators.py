@@ -1217,3 +1217,103 @@ def test_doc_dsir_score_oracle_and_direction(spark):
     )
     row = dsir_weights(one).collect()[0]
     assert row["n_feats"] == 0 and row["dsir_score"] == 0.0
+
+
+def test_block_dedup_span_semantics(spark):
+    """C4/Lee-style exact span dedup at block granularity: the globally
+    FIRST occurrence of each 8-word block survives (ordered by
+    (doc_id, bpos)), documents are rebuilt from surviving blocks in
+    original order, every input row comes back (a fully-duplicated doc as
+    clean_text=''), and the keep-first shuffle is the only exchange on
+    the block side."""
+    from data_harvesting_spark.operators.dedup import block_dedup
+
+    b0 = "a b c d e f g h"          # 8 words = exactly one block
+    b1 = "i j k l m n o p"
+    rows = [
+        (1, f"{b0} {b1}"),           # 2 unique blocks — all kept
+        (2, f"{b0} {b1}"),           # exact copy of doc 1 — fully removed
+        (3, f"{b0} x y z"),          # block 0 dup of doc1, tail unique
+        (4, "q r s"),                # single short unique block
+        (5, ""),                     # empty doc: 0 blocks, survives
+        (6, f"u v w x y z z2 z3 {b1} tail one"),  # middle block removed,
+                                     # reassembly must keep 1st+3rd order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in block_dedup(df, block_words=8).collect()
+    }
+    assert len(got) == 6  # every input row survives
+    assert got[1]["clean_text"] == f"{b0} {b1}"
+    assert (got[1]["n_blocks"], got[1]["n_removed"]) == (2, 0)
+    assert got[2]["clean_text"] == ""
+    assert (got[2]["n_blocks"], got[2]["n_removed"]) == (2, 2)
+    assert got[3]["clean_text"] == "x y z"
+    assert (got[3]["n_blocks"], got[3]["n_removed"]) == (2, 1)
+    assert got[4]["clean_text"] == "q r s"
+    assert (got[4]["n_blocks"], got[4]["n_removed"]) == (1, 0)
+    assert got[5]["clean_text"] == ""
+    assert (got[5]["n_blocks"], got[5]["n_removed"]) == (0, 0)
+    # doc 6: middle block (== doc 1's b1) removed; 1st and 3rd keep order
+    assert got[6]["clean_text"] == "u v w x y z z2 z3 tail one"
+    assert (got[6]["n_blocks"], got[6]["n_removed"]) == (3, 1)
+
+
+def test_context_window_trim_suffix_budget(spark):
+    """Suffix-budget truncation keeps the longest suffix of turns whose
+    token total fits the budget, always keeps the final turn (even alone
+    over budget), and the kept set is a contiguous suffix. Plan: exactly
+    one exchange (hashpartitioning on conv_id) feeds both windows."""
+    import datetime as dt
+
+    from data_harvesting_spark.operators.curate import context_window_trim
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def turn(cid, i, text):
+        return (cid, i, "user", text, None, t0 + dt.timedelta(seconds=i))
+
+    rows = [
+        # c1: tokens 3,2,4 — budget 6 keeps suffix (1,2): 2+4=6
+        turn("c1", 0, "a b c"),
+        turn("c1", 1, "d e"),
+        turn("c1", 2, "f g h i"),
+        # c2: final turn alone is 8 tokens > 6 — still kept, alone
+        turn("c2", 0, "a b"),
+        turn("c2", 1, "p q r s t u v w"),
+        # c3: everything fits (1+1 <= 6)
+        turn("c3", 0, "x"),
+        turn("c3", 1, "y"),
+        # c4: empty-text turn costs 0 tokens
+        turn("c4", 0, "one two three four five six"),
+        turn("c4", 1, ""),
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = context_window_trim(df, budget=6)
+    got = {
+        cid: sorted(r["turn_idx"] for r in grp)
+        for cid, grp in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["conv_id"], r["turn_idx"])),
+            key=lambda r: r["conv_id"],
+        )
+    }
+    assert got == {"c1": [1, 2], "c2": [1], "c3": [0, 1], "c4": [0, 1]}
+    # every conversation survives; kept turns are a contiguous suffix
+    rows_out = out.collect()
+    per_conv_tokens = {}
+    for r in rows_out:
+        per_conv_tokens.setdefault(r["conv_id"], []).append(r)
+    for cid, kept in per_conv_tokens.items():
+        idxs = sorted(r["turn_idx"] for r in kept)
+        assert idxs == list(range(idxs[0], idxs[-1] + 1)), (cid, idxs)
+    # one conv_id exchange serves both window functions (inspect a fresh
+    # pre-execution plan — the AQE final-plan printout repeats stages)
+    plan = (
+        context_window_trim(df, budget=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
