@@ -680,3 +680,102 @@ def dsir_weights(
             F.aggregate(per_feat, F.lit(0.0), lambda acc, y: acc + y), 6
         ).alias("dsir_score"),
     )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    *,
+    eval_mod: int = 97,
+    threshold: float = 0.02,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination — the shape ``contamination_stats``
+    takes when the eval set no longer fits a broadcast: instead of
+    shipping the eval shingle STRINGS to every executor, fold them into
+    an ``m_bits``-bit Bloom bitset (``k`` portable md5-derived positions
+    per shingle) and ship THAT. The broadcast is ``m_bits/8`` bytes
+    (32 KiB here) no matter how large the eval corpus grows, and the
+    corpus side becomes a pure per-row expression + one doc_id hash
+    aggregate — no join at all on the 100 TB side. Bloom one-sidedness
+    means flags are a SUPERSET of the exact scan's (false positives
+    possible, false negatives impossible) — the standard pre-filter
+    contract; the exact `contamination_stats` re-check runs on the
+    (tiny) flagged subset downstream.
+
+    Determinism/oracle: positions are ``md5(shingle||'#'||j)`` first 60
+    bits mod ``m_bits`` — the same per-row expression in DuckDB, so the
+    oracle reproduces the exact bitset and the outputs match exactly.
+
+    The bitset is materialized driver-side from the distinct eval
+    positions — a collect hard-bounded by ``m_bits`` ints regardless of
+    data scale (same bounded-collect contract as the ANN anchor picks).
+    """
+    shingled = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("w")
+    ).select("doc_id", F.expr(_SHINGLES).alias("sh"))
+
+    def positions(shingle):
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(shingle, F.lit(f"#{j}"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(m_bits),
+                )
+                for j in range(1, k + 1)
+            ]
+        )
+
+    eval_pos = (
+        shingled.filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+        .select(F.explode(positions(F.col("shingle"))).alias("pos"))
+        .distinct()
+        .collect()
+    )  # bounded by m_bits rows — 262,144 worst case, independent of data
+    mask = [0] * (m_bits // 64)
+    for r in eval_pos:
+        mask[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # two's-complement fold: a word with bit 63 set must go over as a
+    # negative int64 literal (bit_get reads the raw bits either way)
+    mask_lit = F.lit([v - (1 << 64) if v >= (1 << 63) else v for v in mask])
+
+    hit = lambda p: (  # noqa: E731 — bit p of the broadcast bitset
+        F.bit_get(
+            F.element_at(mask_lit, (p / 64).cast("int") + 1),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+        == 1
+    )
+    corpus = (
+        shingled.filter(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .withColumn(
+            "bloom_hit",
+            F.when(F.col("shingle").isNull(), F.lit(None)).otherwise(
+                F.forall(positions(F.col("shingle")), hit)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").cast("bigint").alias("n_shingles"),
+            F.count_if(F.col("bloom_hit")).cast("bigint").alias("n_bloom_hits"),
+        )
+    )
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_bloom_hits") / F.col("n_shingles"), 6)
+    )
+    return corpus.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        frac.alias("bloom_frac"),
+        (frac >= threshold).alias("flagged_bloom"),
+    )

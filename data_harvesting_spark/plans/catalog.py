@@ -73,6 +73,7 @@ _WINDOW_FRONT = [
 _WINDOW_TAIL = [
     # green in rounds 1-3, untouched since — safe to rotate past the window
     "stratified_sample",
+    "tfidf_top_terms",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2248,3 +2248,62 @@ def q_doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return block_dedup(docs, block_words=8)
+
+
+# ----------------------------------------------------- Bloom decontamination
+# Same split and shingling as doc_decontaminate, but membership goes
+# through a 2^18-bit Bloom bitset (3 portable md5 positions per shingle)
+# instead of the exact eval string set — the broadcast-side shape that
+# survives an eval corpus too large to ship. The oracle reproduces the
+# identical bitset arithmetic, so outputs match exactly (including any
+# Bloom false positives — they are deterministic).
+_BLOOM_SQL = f"""
+WITH {_WORDS_SQL},
+grams AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words),
+shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE w2 IS NOT NULL),
+ks AS (SELECT unnest([1, 2, 3]) AS j),
+eval_pos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(shingle || '#' || j), 1, 15)) AS BIGINT)
+           % 262144 AS pos
+  FROM (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0), ks),
+corpus_pos AS (
+  SELECT s.doc_id, s.shingle, ks.j,
+         CAST(concat('0x', substr(md5(s.shingle || '#' || ks.j), 1, 15)) AS BIGINT)
+           % 262144 AS pos
+  FROM shingles s, ks WHERE s.doc_id % 97 <> 0),
+sh_hit AS (
+  SELECT c.doc_id, c.shingle,
+         (count(e.pos) = 3) AS bloom_hit
+  FROM corpus_pos c LEFT JOIN eval_pos e USING (pos)
+  GROUP BY c.doc_id, c.shingle),
+cstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(CASE WHEN bloom_hit THEN 1 END) AS BIGINT) AS n_bloom_hits
+  FROM sh_hit GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.n_shingles, 0) AS n_shingles,
+       COALESCE(c.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(round(c.n_bloom_hits*1.0/c.n_shingles, 6), 0.0) AS bloom_frac,
+       COALESCE(round(c.n_bloom_hits*1.0/c.n_shingles, 6) >= 0.02, FALSE)
+         AS flagged_bloom
+FROM documents d LEFT JOIN cstats c USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("doc_bloom_decontaminate", _BLOOM_SQL)
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset decontamination gate: the eval shingle set collapses
+    to a 32 KiB broadcast bitmask (bounded by m_bits regardless of eval
+    size); the corpus side is a per-row expression + one doc_id hash
+    aggregate — no join on the big side."""
+    from data_harvesting_spark.operators.quality import bloom_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bloom_contamination(docs)

@@ -1317,3 +1317,50 @@ def test_context_window_trim_suffix_budget(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_contamination_superset_and_planshape(spark):
+    """Bloom decontamination is one-sided vs the exact scan: per doc,
+    n_bloom_hits >= n_overlap and every exactly-contaminated doc is also
+    bloom-flagged (false negatives impossible). The corpus side is
+    join-free: after the bounded bitset collect, the plan is scan →
+    per-row expressions → one doc_id hash aggregate."""
+    from data_harvesting_spark.operators.quality import (
+        bloom_contamination,
+        contamination_stats,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, eval_text),                       # eval split (doc_id % 97 == 0)
+        (97, "iota kappa lamda mu nu xi"),    # eval split too
+        (1, eval_text),                       # fully contaminated corpus doc
+        (2, "alpha beta gamma unrelated tail words here"),  # partial overlap
+        (3, "totally different content with no shared grams at all"),
+        (4, "xy"),                            # <3 words: 0 shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bloom = {r["doc_id"]: r for r in bloom_contamination(df).collect()}
+    exact = {r["doc_id"]: r for r in contamination_stats(df).collect()}
+
+    assert set(bloom) == set(exact) == {1, 2, 3, 4}
+    for did in exact:
+        assert bloom[did]["n_shingles"] == exact[did]["n_shingles"]
+        assert bloom[did]["n_bloom_hits"] >= exact[did]["n_overlap"], did
+        if exact[did]["contaminated"]:
+            assert bloom[did]["flagged_bloom"], did
+    assert bloom[1]["flagged_bloom"] and bloom[1]["n_bloom_hits"] == 6
+    assert not bloom[3]["flagged_bloom"] or exact[3]["contaminated"]
+    assert bloom[4]["n_shingles"] == 0 and bloom[4]["bloom_frac"] == 0.0
+
+    # corpus side is join-free: membership is a bitset expression, not a
+    # join — and the single exchange is the doc_id aggregate's
+    plan = (
+        bloom_contamination(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
