@@ -1,0 +1,206 @@
+"""Probabilistic sketch operators with engine-portable determinism.
+
+Count-min sketch (Cormode & Muthukrishnan 2005) re-expressed as plain
+DataFrame aggregation: every sketch cell is a ``(row, col)`` group key,
+so building the sketch is ONE hash aggregate whose map-side combine
+collapses each partition to at most ``depth × width`` cells before the
+shuffle — the sketch, not the data, crosses the wire. Estimates are the
+classic min-over-rows probe and NEVER underestimate (one-sided error,
+like the Bloom gate in quality.py).
+
+Hash positions are the first 60 md5 bits of ``term || '#' || row`` mod
+``width`` — the same per-row expression DuckDB evaluates, so the oracle
+reproduces the exact sketch and every estimate matches bit-for-bit
+(collisions included; they are deterministic).
+
+Reference parity: the reference keeps exact per-class tallies in a
+single process (`/root/reference/services/harvest_service.py:198-232`);
+at 100 TB exact per-term tallies ARE the sketch's job — fixed memory,
+mergeable across executors and across streaming epochs (cell-wise sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_harvesting_spark.functions.text import normalize_text
+
+
+def _pos(term, row: int, width: int):
+    """Portable md5 cell column for sketch row ``row``."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(term, F.lit(f"#{row}"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def cms_build(words: DataFrame, *, depth: int = 4, width: int = 8192) -> DataFrame:
+    """Build a count-min sketch over a one-column ``term`` DataFrame
+    (one row per occurrence). Returns ``(row, col, cnt)`` — at most
+    ``depth × width`` rows total, regardless of input size.
+
+    One explode (×depth) rides the scan; the groupBy's partial
+    aggregation bounds what each task emits at ``depth × width`` cells,
+    so shuffle volume is O(sketch), not O(data).
+    """
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _pos(F.col("term"), j, width).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row", "cell.col")
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, terms: DataFrame, *, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Probe the sketch for each row of ``terms`` (column ``term``):
+    estimate = min over the ``depth`` cells the term hashes to. The
+    sketch side is tiny (≤ depth × width rows) and broadcasts; the probe
+    is a broadcast join + one term aggregate."""
+    probes = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _pos(F.col("term"), j, width).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "cell.row", "cell.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_cnt"))
+    )
+
+
+def cms_top_terms(
+    docs: DataFrame, *, k: int = 50, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """Heavy-hitter report: exact top-``k`` words by frequency with the
+    count-min estimate alongside — ``cms_cnt >= exact_cnt`` always (CMS
+    is one-sided). Ties on count break by term for a deterministic
+    top-k. At 100 TB the exact pass is what you replace: the sketch is
+    built in one bounded-shuffle aggregate and probed for a candidate
+    set from any cheap source; here the exact counts double as both the
+    candidates and the verification column."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text("text"), " "), lambda x: x != ""
+            )
+        ).alias("term")
+    )
+    exact = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(k)
+    sketch = cms_build(words, depth=depth, width=width)
+    est = cms_estimate(sketch, top.select("term"), depth=depth, width=width)
+    return top.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") >= F.col("exact_cnt")).alias("one_sided_ok"),
+    )
+
+
+# HyperLogLog constants (Flajolet et al. 2007), m = 1024 registers.
+# The bias constant and the full numerator alpha*m^2*2^51 are baked as
+# Python-float literals so Spark and DuckDB parse the SAME double and
+# the one final division is bit-identical cross-engine.
+HLL_M = 1024
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 51)
+
+
+def hll_distinct(items: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-count over a one-column ``term`` DataFrame —
+    duplicates welcome, that is the point. Engine-portable determinism:
+    the 60-bit md5 hash splits into a 10-bit register index and a 50-bit
+    suffix whose leading-zero rank comes from integer ``length(bin(x))``
+    (floor(log2)+1 — exact in both engines, no floating log); the
+    harmonic sum is kept as an exact int64 ``sum(2^(51-M_j))`` (scaled
+    by 2^51, max 2^61 — no FP accumulation), so the estimate is ONE
+    deterministic double division at the end.
+
+    Scale posture: one 1024-group hash aggregate (map-side combine means
+    each task ships at most 1024 (bucket, max-rho) rows — O(registers),
+    not O(data)) and registers merge by MAX, so the sketch composes
+    across executors and streaming epochs exactly like ``cms_build``.
+    The exact countDistinct runs alongside as the verification column —
+    at 100 TB it is the column you drop.
+
+    Raw-range estimator only (no small-range linear counting — that
+    needs ln(), which IEEE does not pin cross-engine); callers stay in
+    the raw range by sizing m below n/2.5.
+    """
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = items.select(
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, 10).alias("rem"),
+    ).select(
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin("rem")))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    sums = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - m_j)"))
+        .cast("bigint")
+        .alias("s_present"),
+    ).select(
+        "registers_used",
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("registers_used"))
+            * F.lit(1 << 51).cast("bigint")
+        ).alias("s_scaled"),
+    )
+    exact = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.countDistinct("term").cast("bigint").alias("exact_distinct"),
+    )
+    return sums.crossJoin(exact).select(
+        F.lit(HLL_M).alias("hll_m"),
+        "registers_used",
+        "s_scaled",
+        F.round(F.lit(HLL_NUMERATOR) / F.col("s_scaled"), 2).alias(
+            "hll_estimate"
+        ),
+        "n_items",
+        "exact_distinct",
+        F.round(
+            F.abs(
+                F.lit(HLL_NUMERATOR) / F.col("s_scaled")
+                - F.col("exact_distinct")
+            )
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -74,6 +74,8 @@ _WINDOW_TAIL = [
     # green in rounds 1-3, untouched since — safe to rotate past the window
     "stratified_sample",
     "tfidf_top_terms",
+    "dataset_mix",
+    "shuffle_order",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

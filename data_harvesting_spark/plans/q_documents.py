@@ -2307,3 +2307,120 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bloom_contamination(docs)
+
+
+# ----------------------------------------------------- count-min heavy hitters
+# Sketch arithmetic is fully deterministic (portable md5 cell positions),
+# so DuckDB rebuilds the exact same 4x8192 sketch and every estimate —
+# collisions included — matches bit-for-bit.
+_CMS_SQL = """
+WITH d AS (
+  SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+words AS (
+  SELECT w FROM (SELECT unnest(string_split(t, ' ')) AS w FROM d) x WHERE w <> ''
+),
+exact AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM words GROUP BY w),
+top AS (SELECT term, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, term LIMIT 50),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT r.row,
+         CAST(concat('0x', substr(md5(w.w || '#' || r.row), 1, 15)) AS BIGINT)
+           % 8192 AS col
+  FROM words w, rows_ r),
+sketch AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+probe AS (
+  SELECT t.term, r.row,
+         CAST(concat('0x', substr(md5(t.term || '#' || r.row), 1, 15)) AS BIGINT)
+           % 8192 AS col
+  FROM top t, rows_ r),
+est AS (SELECT p.term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_cnt
+        FROM probe p LEFT JOIN sketch s USING (row, col) GROUP BY 1)
+SELECT t.term, t.exact_cnt, e.cms_cnt,
+       (e.cms_cnt >= t.exact_cnt) AS one_sided_ok
+FROM top t JOIN est e USING (term)
+"""
+
+
+@register("cms_top_words", _CMS_SQL)
+def q_cms_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the sketch build is one hash
+    aggregate whose map-side combine bounds per-task shuffle output at
+    depth x width cells (O(sketch), not O(data)); probes ride a
+    broadcast join. Estimates are verifiably one-sided (never below the
+    exact count)."""
+    from data_harvesting_spark.operators.sketch import cms_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cms_top_terms(docs, k=50)
+
+
+# -------------------------------------------------- HyperLogLog distinct count
+# Distinct word-3-gram shingles in the corpus — the cardinality that
+# sizes every dedup/decontamination plan. The HLL register math is pure
+# integer arithmetic until one final double division (numerator baked as
+# the same literal both engines parse), so the oracle matches exactly.
+from data_harvesting_spark.operators.sketch import HLL_NUMERATOR as _HLL_NUM
+
+_HLL_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+  FROM d),
+hashed AS (
+  SELECT CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM sh),
+rho AS (
+  SELECT h & 1023 AS bucket, h >> 10 AS rem,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 10)) END AS rho
+  FROM hashed),
+regs AS (SELECT bucket, max(rho) AS m_j FROM rho GROUP BY bucket),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS registers_used,
+         CAST(sum((1::BIGINT) << (51 - m_j)) AS BIGINT) AS s_present
+  FROM regs),
+s AS (
+  SELECT registers_used,
+         s_present + (1024 - registers_used) * (1::BIGINT << 51) AS s_scaled
+  FROM sums),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+  FROM sh)
+SELECT 1024 AS hll_m, registers_used, s_scaled,
+       round({_HLL_NUM!r} / s_scaled, 2) AS hll_estimate,
+       n_items, exact_distinct,
+       round(abs({_HLL_NUM!r} / s_scaled - exact_distinct) * 1.0
+             / exact_distinct, 4) AS rel_err
+FROM s, exact
+"""
+
+
+@register("hll_distinct_shingles", _HLL_SQL)
+def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality of distinct corpus shingles: a 1024-register
+    sketch whose per-task shuffle output is O(registers); registers
+    merge by MAX across executors and epochs. Exact countDistinct rides
+    alongside as the verification column."""
+    from data_harvesting_spark.functions.text import normalize_text
+    from data_harvesting_spark.operators.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(normalize_text("text"), " ")
+    sh = docs.select(w.alias("w")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(0, size(w)-3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END"
+            )
+        ).alias("term")
+    )
+    return hll_distinct(sh)

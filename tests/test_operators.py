@@ -1364,3 +1364,115 @@ def test_bloom_contamination_superset_and_planshape(spark):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin"):
         assert join not in plan, plan
+
+
+def test_cms_sketch_one_sided_exact_and_mergeable(spark):
+    """Count-min sketch: estimates never fall below true counts
+    (one-sided), hit the exact count when no collision disturbs any of
+    the depth rows, and the sketch is MERGEABLE — building over a union
+    equals the cell-wise sum of the per-split sketches (the property
+    that makes it work across executors and streaming epochs). Probe
+    plan: sketch side broadcast, no shuffle join."""
+    from data_harvesting_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple banana banana cherry"),
+         (2, "apple banana date date date date")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in cms_top_terms(docs, k=10).collect()}
+    exact = {"apple": 4, "banana": 3, "date": 4, "cherry": 1}
+    assert set(out) == set(exact)
+    for term, cnt in exact.items():
+        assert out[term]["exact_cnt"] == cnt
+        assert out[term]["cms_cnt"] >= cnt
+        assert out[term]["one_sided_ok"]
+    # width 8192, 4 terms, depth 4 — collision probability ~0: exact
+    assert all(out[t]["cms_cnt"] == exact[t] for t in exact)
+
+    # mergeability: sketch(A ∪ B) == sketch(A) ⊕ sketch(B) (cell-wise sum)
+    wa = spark.createDataFrame([("apple",), ("banana",)], "term string")
+    wb = spark.createDataFrame([("apple",), ("date",)], "term string")
+    full = cms_build(wa.union(wb)).toPandas()
+    merged = (
+        cms_build(wa).union(cms_build(wb)).groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt")).toPandas()
+    )
+    key = ["row", "col"]
+    f = full.sort_values(key).reset_index(drop=True)
+    m = merged.sort_values(key).reset_index(drop=True).astype(f.dtypes.to_dict())
+    pd.testing.assert_frame_equal(f, m)
+
+    # probe: the tiny sketch broadcasts — no shuffle join on the probe path
+    probe_plan = (
+        cms_estimate(cms_build(wa), wb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in probe_plan, probe_plan
+    assert "SortMergeJoin" not in probe_plan, probe_plan
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """HyperLogLog: the 1024-register estimate lands within the standard
+    error band (~1.04/sqrt(1024) ≈ 3.3%; assert a loose 15%) on a
+    5000-distinct stream with heavy duplication, registers merge by MAX
+    across splits (streaming/executor composition), and the register
+    aggregate ships O(registers) rows — map-side combine leaves at most
+    1024 groups."""
+    from data_harvesting_spark.operators.sketch import HLL_M, hll_distinct
+
+    items = spark.range(15000).select(
+        F.concat(F.lit("item-"), (F.col("id") % 5000).cast("string")).alias(
+            "term"
+        )
+    )
+    row = hll_distinct(items).collect()[0]
+    assert row["n_items"] == 15000 and row["exact_distinct"] == 5000
+    assert row["hll_m"] == HLL_M and 0 < row["registers_used"] <= HLL_M
+    assert row["rel_err"] < 0.15, row
+    assert abs(row["hll_estimate"] - 5000) / 5000 == pytest.approx(
+        row["rel_err"], abs=1e-3
+    )
+
+    # duplicates are free: the full stream and its distinct projection
+    # produce the IDENTICAL sketch row (same registers, same estimate)
+    dedup_row = hll_distinct(items.distinct()).collect()[0]
+    assert dedup_row["s_scaled"] == row["s_scaled"]
+    assert dedup_row["hll_estimate"] == row["hll_estimate"]
+
+    # mergeability: max-combining per-split registers == whole-stream
+    a = items.where(F.col("term") < "item-3")   # lexicographic split
+    b = items.where(~(F.col("term") < "item-3"))
+
+    def registers(df):
+        h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        hashed = df.select(
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+            F.shiftright(h, 10).alias("rem"),
+        ).select(
+            "bucket",
+            F.when(F.col("rem") == 0, F.lit(51))
+            .otherwise(F.lit(51) - F.length(F.bin("rem")))
+            .cast("int")
+            .alias("rho"),
+        )
+        return hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+
+    merged = (
+        registers(a).union(registers(b)).groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j")).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    whole = (
+        registers(items).toPandas().sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, whole)
