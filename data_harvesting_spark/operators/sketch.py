@@ -155,33 +155,7 @@ def hll_distinct(items: DataFrame) -> DataFrame:
     needs ln(), which IEEE does not pin cross-engine); callers stay in
     the raw range by sizing m below n/2.5.
     """
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    hashed = items.select(
-        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
-        F.shiftright(h, 10).alias("rem"),
-    ).select(
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(51))
-        .otherwise(F.lit(51) - F.length(F.bin("rem")))
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    sums = regs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - m_j)"))
-        .cast("bigint")
-        .alias("s_present"),
-    ).select(
-        "registers_used",
-        (
-            F.col("s_present")
-            + (F.lit(HLL_M) - F.col("registers_used"))
-            * F.lit(1 << 51).cast("bigint")
-        ).alias("s_scaled"),
-    )
+    sums = hll_summary(hll_registers(items))
     exact = items.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.countDistinct("term").cast("bigint").alias("exact_distinct"),
@@ -203,4 +177,42 @@ def hll_distinct(items: DataFrame) -> DataFrame:
             / F.col("exact_distinct"),
             4,
         ).alias("rel_err"),
+    )
+
+
+def hll_registers(items: DataFrame) -> DataFrame:
+    """The HLL state itself: ``(bucket, m_j)`` max-rho registers for a
+    one-column ``term`` DataFrame. Registers from different splits (or
+    streaming epochs) merge by ``groupBy(bucket).max(m_j)``."""
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = items.select(
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, 10).alias("rem"),
+    ).select(
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.bin("rem")))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_summary(regs: DataFrame) -> DataFrame:
+    """Collapse a register table to ``(registers_used, s_scaled)`` — the
+    exact-integer harmonic sum the estimate divides into."""
+    return regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - m_j)"))
+        .cast("bigint")
+        .alias("s_present"),
+    ).select(
+        "registers_used",
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("registers_used"))
+            * F.lit(1 << 51).cast("bigint")
+        ).alias("s_scaled"),
     )

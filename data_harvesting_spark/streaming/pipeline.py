@@ -1330,3 +1330,149 @@ def start_curate_job_session_window(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_sketch_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    depth: int = 4,
+    width: int = 8192,
+):
+    """Streaming corpus telemetry via mergeable sketches: every epoch
+    folds its turn-text words into a cumulative count-min sketch
+    (cell-wise SUM) and HyperLogLog registers (bucket-wise MAX), then
+    emits one monitoring row — cumulative word count, distinct-word HLL
+    estimate, registers/cells used. The continuous analog of the
+    reference's in-process tally prints
+    (`/root/reference/utils/time_verbose_object.py:29-44` +
+    `harvest_service.py:198-232`), built on the mergeability the batch
+    tests pin: the final ledger equals the one-shot batch sketch over
+    the same rows EXACTLY, so a backfill and the stream agree.
+
+    State is O(sketch) — ``depth×width + HLL_M`` rows, independent of
+    stream length — and NEVER evicts: unlike the dedup/boilerplate
+    ledgers there is no per-key state to bound, that is the entire point
+    of sketching the stream instead of keying it.
+
+    Exactly-once composition is the frozen-pre-state pattern
+    (``_read_cap_ledger``): epoch N reads snapshot N-1, writes snapshot
+    N; a replayed epoch recomputes identical output for the idempotent
+    epoch sink.
+    """
+    from data_harvesting_spark.functions.text import normalize_text
+    from data_harvesting_spark.operators.sketch import (
+        HLL_M,
+        HLL_NUMERATOR,
+        cms_build,
+        hll_registers,
+    )
+
+    ledger_path = sink_path.rstrip("/") + ".sketch"
+    stream = read_transcript_stream(spark, source_dir)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        words = df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text("text"), " "), lambda x: x != ""
+                )
+            ).alias("term")
+        ).persist()
+        try:
+            # unified ledger rows: kind ∈ {cms, hll, n}; cms/n merge by
+            # SUM, hll by MAX — one snapshot, three mergeable sketches
+            cms_rows = cms_build(words, depth=depth, width=width).select(
+                F.lit("cms").alias("kind"),
+                F.col("row").cast("int").alias("r"),
+                F.col("col").cast("long").alias("c"),
+                F.col("cnt").cast("long").alias("v"),
+            )
+            hll_rows = hll_registers(words).select(
+                F.lit("hll").alias("kind"),
+                F.lit(0).alias("r"),
+                F.col("bucket").cast("long").alias("c"),
+                F.col("m_j").cast("long").alias("v"),
+            )
+            n_rows = words.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("n").alias("kind"),
+                F.lit(0).alias("r"),
+                F.lit(0).cast("long").alias("c"),
+                F.col("n").cast("long").alias("v"),
+            )
+            batch_state = cms_rows.unionByName(hll_rows).unionByName(n_rows)
+            prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+            merged = (
+                batch_state
+                if prior is None
+                else prior.unionByName(batch_state)
+            )
+            snapshot = (
+                merged.groupBy("kind", "r", "c")
+                .agg(
+                    F.when(F.col("kind") == "hll", F.max("v"))
+                    .otherwise(F.sum("v"))
+                    .cast("long")
+                    .alias("v")
+                )
+                .persist()
+            )
+
+            hll_sum = snapshot.where(F.col("kind") == "hll").agg(
+                F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+                F.coalesce(
+                    F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - v)")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("s_present"),
+            )
+            totals = snapshot.where(F.col("kind") == "n").agg(
+                F.coalesce(F.sum("v"), F.lit(0)).cast("bigint")
+                .alias("n_words_cum")
+            )
+            cells = snapshot.where(F.col("kind") == "cms").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cms_cells_used")
+            )
+            report = (
+                hll_sum.crossJoin(totals)
+                .crossJoin(cells)
+                .select(
+                    F.lit(epoch_id).cast("long").alias("epoch"),
+                    "n_words_cum",
+                    F.round(
+                        F.lit(HLL_NUMERATOR)
+                        / (
+                            F.col("s_present")
+                            + (F.lit(HLL_M) - F.col("registers_used"))
+                            * F.lit(1 << 51).cast("bigint")
+                        ),
+                        2,
+                    ).alias("hll_distinct_words"),
+                    "registers_used",
+                    "cms_cells_used",
+                )
+            )
+            write_epoch(report, epoch_id, sink_path)
+            snapshot.coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(ledger_path, f"_epoch={epoch_id}")
+            )
+            snapshot.unpersist()
+            _prune_cap_ledger(ledger_path, epoch_id)
+        finally:
+            words.unpersist()
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

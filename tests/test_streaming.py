@@ -2372,3 +2372,173 @@ def test_sft_export_stream_kill_and_resume(spark, fixture_batches, tmp_path):
     want = _sft_batch_reference(spark, fixture_batches)
     want = want[want["conv_id"] != "conv-flush"]
     pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
+
+
+# --------------------------------------------------------------- sketch stream
+@pytest.fixture(scope="module")
+def sketch_batches(tmp_path_factory):
+    """Three micro-batches of turns with overlapping vocabulary so the
+    cumulative sketches actually merge (shared words across epochs, new
+    words appearing late)."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    files = [
+        [("s1", 0, "user", "alpha beta gamma alpha", None, base),
+         ("s1", 1, "assistant", "beta delta", "search",
+          base + pd.Timedelta(seconds=5))],
+        [("s2", 0, "user", "alpha epsilon zeta", None,
+          base + pd.Timedelta(minutes=1))],
+        [("s3", 0, "user", "eta theta alpha beta", None,
+          base + pd.Timedelta(minutes=2)),
+         ("s3", 1, "user", "", None, base + pd.Timedelta(minutes=3))],
+    ]
+    d = tmp_path_factory.mktemp("sketch_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_words(spark, source_dir):
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.functions.text import normalize_text
+
+    src = spark.read.parquet(source_dir + "/*.parquet")
+    return src.select(
+        F.explode(
+            F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
+        ).alias("term")
+    )
+
+
+def test_sketch_stream_final_state_equals_batch(
+    spark, sketch_batches, tmp_path
+):
+    """Mergeability end-to-end: after streaming the input in three
+    epochs, the cumulative ledger's CMS cells equal the one-shot batch
+    sketch EXACTLY (cell-wise sum across epochs == single build), the
+    HLL registers equal the batch registers (max-merge), and the final
+    monitoring row's estimate equals batch hll_distinct's."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.sketch import (
+        cms_build,
+        hll_distinct,
+        hll_registers,
+    )
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sketch_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sketch_stream_job(
+        spark, sketch_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q)
+
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".sketch")
+    words = _batch_words(spark, sketch_batches)
+
+    got_cms = (
+        led.where(F.col("kind") == "cms")
+        .select(F.col("r").alias("row"), F.col("c").alias("col"),
+                F.col("v").alias("cnt"))
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    want_cms = (
+        cms_build(words).toPandas()
+        .sort_values(["row", "col"]).reset_index(drop=True)
+        .astype(got_cms.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got_cms, want_cms)
+
+    got_regs = (
+        led.where(F.col("kind") == "hll")
+        .select(F.col("c").alias("bucket"), F.col("v").alias("m_j"))
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    want_regs = (
+        hll_registers(words).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+        .astype(got_regs.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got_regs, want_regs)
+
+    # monitoring rows: one per non-empty epoch, monotone cumulative
+    # counts, final estimate == batch estimate over the same words
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    assert (rows["n_words_cum"].diff().dropna() >= 0).all()
+    assert rows["n_words_cum"].iloc[-1] == words.count()
+    batch = hll_distinct(words).collect()[0]
+    assert rows["hll_distinct_words"].iloc[-1] == batch["hll_estimate"]
+    assert rows["registers_used"].iloc[-1] == batch["registers_used"]
+
+
+def test_sketch_stream_kill_and_resume(spark, sketch_batches, tmp_path):
+    """W7 on the sketch stream: stop mid-input, resume from checkpoint —
+    the final ledger and monitoring rows equal the uninterrupted run's
+    (frozen-pre-state snapshots replay idempotently; sums don't
+    double-count the replayed epoch)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.sketch import cms_build
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sketch_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sketch_stream_job(
+        spark, sketch_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_sketch_stream_job(
+        spark, sketch_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q2)
+
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".sketch")
+    words = _batch_words(spark, sketch_batches)
+    got_cms = (
+        led.where(F.col("kind") == "cms")
+        .select(F.col("r").alias("row"), F.col("c").alias("col"),
+                F.col("v").alias("cnt"))
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    want_cms = (
+        cms_build(words).toPandas()
+        .sort_values(["row", "col"]).reset_index(drop=True)
+        .astype(got_cms.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got_cms, want_cms)
+    # total word count not double-counted despite the replayed epoch
+    rows = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    assert rows["n_words_cum"].max() == words.count()
