@@ -76,6 +76,9 @@ _WINDOW_TAIL = [
     "tfidf_top_terms",
     "dataset_mix",
     "shuffle_order",
+    "doc_repetition",
+    "doc_decontaminate",
+    "dedup_components",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2424,3 +2424,42 @@ def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return hll_distinct(sh)
+
+
+# ------------------------------------------------------------ source mix report
+_SOURCE_MIX_SQL = """
+WITH agg AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_chars), 4) AS mean_chars
+  FROM documents GROUP BY source, lang),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM agg)
+SELECT a.source, a.lang, a.n_docs, a.total_chars, a.mean_chars,
+       round(a.n_docs * 1.0 / t.corpus_docs, 6) AS doc_share
+FROM agg a, tot t
+"""
+
+
+@register("source_mix_report", _SOURCE_MIX_SQL)
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus mix — the dashboard every pretraining
+    mix decision reads. One (source, lang) hash aggregate; the corpus
+    total arrives as a broadcast 1-row crossJoin, NOT a window over an
+    empty partition spec (which would single-partition the whole
+    table)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    tot = agg.agg(F.sum("n_docs").cast("bigint").alias("corpus_docs"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "mean_chars",
+        F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("doc_share"),
+    )

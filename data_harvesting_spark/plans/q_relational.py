@@ -190,3 +190,124 @@ def q_tool_args_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vm").cast("bigint").alias("value_milli_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q3
+@register(
+    "tpch_q3",
+    """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: the canonical selective
+    fact-fact join. Both selections sit below the joins (pushed to the
+    parquet scans), the filtered customer⋈orders side is explicitly
+    broadcast into the lineitem scan (zero shuffle on the big fact until
+    the final small agg), and the top-10 is a deterministic
+    revenue-then-key TakeOrdered — no global sort materializes. At 100 TB
+    the broadcast holds exactly while the date+segment selectivity does;
+    AQE demotes it to a shuffle join past the threshold with the same
+    semantics."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = "1998-06-01"
+    co = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            o.where(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- funnel
+@register(
+    "events_funnel",
+    """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase_any
+  FROM events GROUP BY user_id),
+ordered AS (
+  SELECT user_id, t_signup,
+         CASE WHEN t_view_any > t_signup THEN t_view_any END AS t_view,
+         CASE WHEN t_purchase_any > t_view_any AND t_view_any > t_signup
+              THEN t_purchase_any END AS t_purchase
+  FROM stage)
+SELECT CAST(count(t_signup) AS BIGINT) AS n_signup,
+       CAST(count(t_view) AS BIGINT) AS n_signup_view,
+       CAST(count(t_purchase) AS BIGINT) AS n_signup_view_purchase,
+       round(count(t_view) * 1.0 / count(t_signup), 6) AS conv_view,
+       round(count(t_purchase) * 1.0 / count(t_view), 6) AS conv_purchase
+FROM ordered
+"""
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later view → later purchase): conditional
+    min-timestamps in ONE user_id hash aggregate, then stage ordering as
+    per-row comparisons — the funnel never materializes per-event state
+    or self-joins the event log (the naive three-way self-join would be
+    three fact shuffles; this is one). First-touch semantics: each
+    stage anchors at the user's EARLIEST qualifying event."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view_any"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase_any"
+        ),
+    )
+    ordered = stage.select(
+        "t_signup",
+        F.when(F.col("t_view_any") > F.col("t_signup"), F.col("t_view_any"))
+        .alias("t_view"),
+        F.when(
+            (F.col("t_purchase_any") > F.col("t_view_any"))
+            & (F.col("t_view_any") > F.col("t_signup")),
+            F.col("t_purchase_any"),
+        ).alias("t_purchase"),
+    )
+    return ordered.agg(
+        F.count("t_signup").cast("bigint").alias("n_signup"),
+        F.count("t_view").cast("bigint").alias("n_signup_view"),
+        F.count("t_purchase").cast("bigint").alias("n_signup_view_purchase"),
+        F.round(F.count("t_view") / F.count("t_signup"), 6).alias(
+            "conv_view"
+        ),
+        F.round(F.count("t_purchase") / F.count("t_view"), 6).alias(
+            "conv_purchase"
+        ),
+    )

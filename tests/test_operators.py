@@ -1476,3 +1476,84 @@ def test_hll_distinct_accuracy_and_merge(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged, whole)
+
+
+def test_tpch_q3_plan_broadcasts_and_pushes_down(spark):
+    """Q3 shape: both selections reach the parquet scans as pushed
+    filters, the filtered customer⋈orders side broadcasts into lineitem
+    (no shuffle join anywhere), and the top-10 runs as TakeOrdered — no
+    global sort exchange."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q3"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters: [" in plan, plan
+    # the fact-side scan carries the shipdate pushdown
+    assert "GreaterThan(l_shipdate" in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_events_funnel_ordering_semantics(spark):
+    """First-touch ordered funnel: a later-stage event only counts when
+    it strictly follows the user's earliest prior-stage event; plan is
+    one user_id exchange plus the final scalar agg — no self-joins."""
+    import datetime as dt
+
+    from data_harvesting_spark.plans import q_relational  # noqa: F401
+    from data_harvesting_spark.plans.catalog import _REGISTRY
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(uid, typ, secs):
+        return (uid, typ, t0 + dt.timedelta(seconds=secs))
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, "signup", 0), ev(1, "view", 10), ev(1, "purchase", 20),
+        # u2: view BEFORE signup only — no view credit, no purchase credit
+        ev(2, "view", 0), ev(2, "signup", 10), ev(2, "purchase", 20),
+        # u3: signup → purchase with no view — purchase needs the view leg
+        ev(3, "signup", 0), ev(3, "purchase", 10),
+        # u4: never signs up — outside the funnel entirely
+        ev(4, "view", 0), ev(4, "purchase", 10),
+        # u5: signup → view, purchase BEFORE the view — view yes, buy no
+        ev(5, "signup", 0), ev(5, "purchase", 5), ev(5, "view", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+    from pyspark.sql import functions as F
+
+    stage = df.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view_any"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase_any"),
+    )
+    ordered = stage.select(
+        "t_signup",
+        F.when(F.col("t_view_any") > F.col("t_signup"), F.col("t_view_any")).alias("t_view"),
+        F.when(
+            (F.col("t_purchase_any") > F.col("t_view_any"))
+            & (F.col("t_view_any") > F.col("t_signup")),
+            F.col("t_purchase_any"),
+        ).alias("t_purchase"),
+    )
+    got = ordered.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_purchase").alias("n_purchase"),
+    ).collect()[0]
+    # views: u1 and u5 only — u2's EARLIEST view precedes signup, so
+    # first-touch denies the credit; purchases: u1 only
+    assert (got["n_signup"], got["n_view"], got["n_purchase"]) == (4, 2, 1)
+
+    plan = ordered._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
