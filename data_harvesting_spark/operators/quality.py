@@ -744,8 +744,13 @@ def bloom_contamination(
     for r in eval_pos:
         mask[r["pos"] // 64] |= 1 << (r["pos"] % 64)
     # two's-complement fold: a word with bit 63 set must go over as a
-    # negative int64 literal (bit_get reads the raw bits either way)
-    mask_lit = F.lit([v - (1 << 64) if v >= (1 << 63) else v for v in mask])
+    # negative int64 literal (bit_get reads the raw bits either way).
+    # The array<bigint> cast is load-bearing: an all-small mask (tiny or
+    # empty eval split) would otherwise infer array<int> and bit_get
+    # rejects positions >= 32.
+    mask_lit = F.lit(
+        [v - (1 << 64) if v >= (1 << 63) else v for v in mask]
+    ).cast("array<bigint>")
 
     hit = lambda p: (  # noqa: E731 — bit p of the broadcast bitset
         F.bit_get(

@@ -1557,3 +1557,57 @@ def test_events_funnel_ordering_semantics(spark):
     plan = ordered._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_new_operators_edge_inputs(spark):
+    """Empty/degenerate probes for the round-4 late additions: every
+    operator returns an empty (or zeroed) result with the right schema
+    instead of crashing — the contract the composite pipelines rely on."""
+    import datetime as dt
+
+    from data_harvesting_spark.operators.curate import context_window_trim
+    from data_harvesting_spark.operators.dedup import block_dedup
+    from data_harvesting_spark.operators.quality import bloom_contamination
+    from data_harvesting_spark.operators.sketch import (
+        cms_top_terms,
+        hll_distinct,
+    )
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    # block dedup: empty corpus → empty result, schema intact
+    bd = block_dedup(empty_docs)
+    assert bd.count() == 0
+    assert [f.name for f in bd.schema.fields] == [
+        "doc_id", "clean_text", "n_blocks", "n_removed"
+    ]
+
+    # bloom gate: corpus with NO eval split (nothing % 97 == 0) → all
+    # zero hits, nothing flagged; and an empty corpus → empty result
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = bloom_contamination(docs).collect()
+    assert len(rows) == 2
+    assert all(r["n_bloom_hits"] == 0 and not r["flagged_bloom"] for r in rows)
+    assert bloom_contamination(empty_docs).count() == 0
+
+    # sketches: empty stream → empty top-k; HLL yields the all-empty
+    # register state (registers_used 0, estimate at the formula's floor)
+    assert cms_top_terms(empty_docs).count() == 0
+    empty_terms = spark.createDataFrame([], "term string")
+    hrow = hll_distinct(empty_terms).collect()[0]
+    assert hrow["registers_used"] == 0 and hrow["n_items"] == 0
+
+    # context trim: empty input → empty output; single-turn conversation
+    # always survives whole
+    empty_t = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    assert context_window_trim(empty_t, budget=8).count() == 0
+    one = spark.createDataFrame(
+        [("c", 0, "user", "a b c d e f g h i j", None,
+          dt.datetime(2026, 1, 1))],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    kept = context_window_trim(one, budget=2).collect()
+    assert len(kept) == 1 and kept[0]["n_tokens"] == 10
