@@ -79,6 +79,7 @@ _WINDOW_TAIL = [
     "doc_repetition",
     "doc_decontaminate",
     "dedup_components",
+    "dedup_increment",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2463,3 +2463,60 @@ def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_chars",
         F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("doc_share"),
     )
+
+
+# ------------------------------------------------------------ media exact dedup
+# Exact binary dedup over the synthesized media payloads: keep the first
+# media_id per payload md5, report copy counts. Spark hashes the BINARY
+# column; the oracle hashes the source text — byte-identical because the
+# fixture is pure ASCII (same asserted property _MEDIA_SQL relies on;
+# DuckDB's md5 is VARCHAR-only).
+_MEDIA_DEDUP_SQL = """
+WITH media AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(text) AS payload_md5
+  FROM documents),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY payload_md5 ORDER BY media_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY payload_md5) AS BIGINT) AS n_copies
+  FROM media)
+SELECT media_id, kind, payload_md5, n_copies
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("media_dedup", _MEDIA_DEDUP_SQL)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on an opaque BINARY column: md5 over the payload bytes
+    (never the decoded content — no codec needed), one hash shuffle keyed
+    by digest, keep-first + copy count in the same window pass. The
+    binary-column twin of ``dedup_exact_docs``; at 100 TB the shuffle key
+    is the 128-bit digest, payloads never move."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    w = Window.partitionBy("payload_md5")
+    ranked = media.withColumn("payload_md5", F.md5("payload")).select(
+        "media_id",
+        "kind",
+        "payload_md5",
+        F.row_number()
+        .over(w.orderBy("media_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")
