@@ -279,35 +279,9 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     three fact shuffles; this is one). First-touch semantics: each
     stage anchors at the user's EARLIEST qualifying event."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-            "t_signup"
-        ),
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view_any"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "t_purchase_any"
-        ),
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
     )
-    ordered = stage.select(
-        "t_signup",
-        F.when(F.col("t_view_any") > F.col("t_signup"), F.col("t_view_any"))
-        .alias("t_view"),
-        F.when(
-            (F.col("t_purchase_any") > F.col("t_view_any"))
-            & (F.col("t_view_any") > F.col("t_signup")),
-            F.col("t_purchase_any"),
-        ).alias("t_purchase"),
-    )
-    return ordered.agg(
-        F.count("t_signup").cast("bigint").alias("n_signup"),
-        F.count("t_view").cast("bigint").alias("n_signup_view"),
-        F.count("t_purchase").cast("bigint").alias("n_signup_view_purchase"),
-        F.round(F.count("t_view") / F.count("t_signup"), 6).alias(
-            "conv_view"
-        ),
-        F.round(F.count("t_purchase") / F.count("t_view"), 6).alias(
-            "conv_purchase"
-        ),
-    )
+
+    return funnel_report(funnel_stage_mins(e))

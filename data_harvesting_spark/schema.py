@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     MapType,
@@ -78,5 +79,18 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("payload_hash", LongType(), False),
         StructField("features", ArrayType(StringType()), True),
+    ]
+)
+
+
+# Events stream (TESTDATA.md events table) — the relational/funnel source.
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
     ]
 )

@@ -1476,3 +1476,90 @@ def start_sketch_stream_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File micro-batch source over event-log parquet slices — the
+    relational/funnel input (EVENT_SCHEMA), same replay contract as
+    ``read_transcript_stream``."""
+    from data_harvesting_spark.schema import EVENT_SCHEMA
+
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def start_funnel_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous first-touch funnel over the event stream: every epoch
+    min-merges its per-user per-stage timestamps into the ledger and
+    emits ONE cumulative conversion-report row.
+
+    Why this streams exactly (no prefix caveat): the state is per-user
+    per-stage MIN timestamps — a commutative, associative, idempotent
+    fold — and the ordering comparisons run at report time only, so the
+    cumulative report after epoch N equals the batch funnel over all
+    events in epochs ≤ N REGARDLESS of arrival order, even across
+    epochs. The stream==batch test pins this with stages arriving out of
+    order across micro-batches.
+
+    State is O(active users) × 3 timestamps. Eviction intentionally does
+    NOT apply: dropping a user's signup would un-credit a later
+    conversion (min-merge is not retention-safe the way the dedup
+    ledgers are); the attribution-window variant — evict users whose
+    t_signup is older than the window, since they can no longer convert
+    differently — is the documented knob for unbounded user spaces.
+
+    Exactly-once: frozen-pre-state snapshots (``_read_cap_ledger``
+    protocol) + idempotent epoch sink, as every sibling job.
+    """
+    from data_harvesting_spark.operators.funnel import (
+        FUNNEL_STAGES,
+        funnel_report,
+        funnel_stage_mins,
+        merge_stage_mins,
+    )
+
+    ledger_path = sink_path.rstrip("/") + ".funnel"
+    stream = read_event_stream(spark, source_dir)
+    cols = [f"t_{s}" for s in FUNNEL_STAGES]
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        batch_mins = funnel_stage_mins(df)
+        prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+        state = (
+            batch_mins
+            if prior is None
+            else merge_stage_mins(prior, batch_mins)
+        ).persist()
+        report = funnel_report(state).select(
+            F.lit(epoch_id).cast("long").alias("epoch"), "*"
+        )
+        write_epoch(report, epoch_id, sink_path)
+        state.select("user_id", *cols).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ledger_path, f"_epoch={epoch_id}"))
+        state.unpersist()
+        _prune_cap_ledger(ledger_path, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

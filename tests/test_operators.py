@@ -1529,32 +1529,24 @@ def test_events_funnel_ordering_semantics(spark):
         rows, "user_id long, event_type string, ts timestamp"
     )
 
-    from pyspark.sql import functions as F
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
+    )
 
-    stage = df.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view_any"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase_any"),
-    )
-    ordered = stage.select(
-        "t_signup",
-        F.when(F.col("t_view_any") > F.col("t_signup"), F.col("t_view_any")).alias("t_view"),
-        F.when(
-            (F.col("t_purchase_any") > F.col("t_view_any"))
-            & (F.col("t_view_any") > F.col("t_signup")),
-            F.col("t_purchase_any"),
-        ).alias("t_purchase"),
-    )
-    got = ordered.agg(
-        F.count("t_signup").alias("n_signup"),
-        F.count("t_view").alias("n_view"),
-        F.count("t_purchase").alias("n_purchase"),
-    ).collect()[0]
+    got = funnel_report(funnel_stage_mins(df)).collect()[0]
     # views: u1 and u5 only — u2's EARLIEST view precedes signup, so
     # first-touch denies the credit; purchases: u1 only
-    assert (got["n_signup"], got["n_view"], got["n_purchase"]) == (4, 2, 1)
+    assert (
+        got["n_signup"],
+        got["n_signup_view"],
+        got["n_signup_view_purchase"],
+    ) == (4, 2, 1)
+    assert got["conv_view"] == 0.5 and got["conv_purchase"] == 0.5
 
-    plan = ordered._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        funnel_stage_mins(df)._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
 

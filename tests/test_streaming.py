@@ -2542,3 +2542,130 @@ def test_sketch_stream_kill_and_resume(spark, sketch_batches, tmp_path):
     # total word count not double-counted despite the replayed epoch
     rows = read_epoch_sink(spark, cfg.sink_path).toPandas()
     assert rows["n_words_cum"].max() == words.count()
+
+
+# --------------------------------------------------------------- funnel stream
+@pytest.fixture(scope="module")
+def funnel_batches(tmp_path_factory):
+    """Event-log micro-batches with stages arriving OUT OF ORDER across
+    epochs: u1's purchase lands in batch 0 but its signup only in batch
+    2 — the min-merge fold must still credit the full funnel at the
+    end."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    files = [
+        [ev(1, 1, "purchase", 20), ev(2, 2, "view", 0)],
+        [ev(3, 1, "view", 10), ev(4, 2, "signup", 10), ev(5, 3, "signup", 0)],
+        [ev(6, 1, "signup", 0), ev(7, 2, "purchase", 20),
+         ev(8, 3, "purchase", 10)],
+    ]
+    d = tmp_path_factory.mktemp("funnel_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_funnel_stream_equals_batch_despite_disorder(
+    spark, funnel_batches, tmp_path
+):
+    """The cumulative report after the last epoch equals the batch
+    funnel over all events, even though stages arrived out of order
+    across micro-batches (min-merge is order-free); intermediate rows
+    are each exactly the batch funnel over their epoch prefix."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
+    )
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    src = spark.read.parquet(funnel_batches + "/*.parquet")
+    want = funnel_report(funnel_stage_mins(src)).collect()[0]
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (want["n_signup"], want["n_signup_view"],
+          want["n_signup_view_purchase"])
+    # fixture semantics: u1 full funnel (signup 0 < view 10 < buy 20),
+    # u2 view precedes signup → view denied, u3 signup→buy without view
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (3, 1, 1)
+    # the u1 funnel only completes once its signup arrives (epoch 2+):
+    # earlier cumulative reports must NOT credit the conversion
+    early = rows.iloc[0]
+    assert early["n_signup_view_purchase"] == 0
+
+
+def test_funnel_stream_kill_and_resume(spark, funnel_batches, tmp_path):
+    """W7: stop mid-input, resume — the final cumulative report equals
+    the uninterrupted run's (idempotent min-merge: a replayed epoch
+    cannot move any min)."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_funnel_stream_job(
+        spark, funnel_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q2)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (3, 1, 1)
