@@ -340,10 +340,15 @@ def run_streaming(
         start_curate_job_session_window,
         start_dedup_stream_job,
         start_neardup_stream_job,
+        start_sketch_stream_job,
     )
 
-    if mode in ("dedup", "neardup"):
-        job = start_dedup_stream_job if mode == "dedup" else start_neardup_stream_job
+    if mode in ("dedup", "neardup", "sketch"):
+        job = {
+            "dedup": start_dedup_stream_job,
+            "neardup": start_neardup_stream_job,
+            "sketch": start_sketch_stream_job,
+        }[mode]
 
         def starter(spark, src, cfg, available_now):
             return job(
