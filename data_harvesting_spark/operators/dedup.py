@@ -578,15 +578,16 @@ def block_dedup(documents: DataFrame, block_words: int = 8) -> DataFrame:
 
     Scale posture: block construction is a per-row JVM expression
     (``transform(sequence(...), slice(...))`` — no shuffle); keep-first is
-    ONE hash shuffle keyed by block text (dup groups are tiny, so the
-    per-key row_number never sees a skewed partition — at 100 TB swap the
-    key for ``xxhash64(btext)`` exactly like ``exact_dedup``); reassembly
-    is one doc_id aggregate whose ordered concat happens INSIDE the row
-    via ``array_sort(collect_list(struct(bpos, btext)))`` — no per-group
-    sort stage.
+    ONE ``min(struct(doc_id, bpos))`` HASH AGGREGATE keyed by block text
+    — deliberately not a row_number window, because boilerplate blocks
+    are exactly the hot keys C4 exists for and a per-key sort would put
+    a billion-row key in one task; the agg's map-side combine collapses
+    every hot key to one row per partition before the shuffle (at 100 TB
+    swap the key for ``xxhash64(btext)`` exactly like ``exact_dedup``).
+    Reassembly is one doc_id aggregate whose ordered concat happens
+    INSIDE the row via ``array_sort(collect_list(struct(bpos, btext)))``
+    — no per-group sort stage.
     """
-    from pyspark.sql import Window
-
     from data_harvesting_spark.functions.text import normalize_text
 
     w = F.filter(F.split(normalize_text("text"), " "), lambda x: x != "")
@@ -602,12 +603,9 @@ def block_dedup(documents: DataFrame, block_words: int = 8) -> DataFrame:
             )
         ).alias("bpos", "btext"),
     )
-    first = Window.partitionBy("btext").orderBy("doc_id", "bpos")
-    kept = (
-        blocks.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    kept = blocks.groupBy("btext").agg(
+        F.min(F.struct("doc_id", "bpos")).alias("w")
+    ).select(F.col("w.doc_id").alias("doc_id"), F.col("w.bpos").alias("bpos"), "btext")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -2492,12 +2492,12 @@ FROM ranked WHERE rn = 1
 @register("media_dedup", _MEDIA_DEDUP_SQL)
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on an opaque BINARY column: md5 over the payload bytes
-    (never the decoded content — no codec needed), one hash shuffle keyed
-    by digest, keep-first + copy count in the same window pass. The
-    binary-column twin of ``dedup_exact_docs``; at 100 TB the shuffle key
-    is the 128-bit digest, payloads never move."""
-    from pyspark.sql import Window
-
+    (never the decoded content — no codec needed), keep-first + copy
+    count in ONE ``min(struct)`` hash aggregate keyed by the digest —
+    not a row_number window, so a viral payload duplicated a billion
+    times collapses map-side instead of sorting in one task. The
+    binary-column twin of ``dedup_exact_docs``; at 100 TB the shuffle
+    key is the 128-bit digest, payloads never move."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = docs.select(
         F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias(
@@ -2509,14 +2509,17 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    w = Window.partitionBy("payload_md5")
-    ranked = media.withColumn("payload_md5", F.md5("payload")).select(
-        "media_id",
-        "kind",
-        "payload_md5",
-        F.row_number()
-        .over(w.orderBy("media_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+    return (
+        media.withColumn("payload_md5", F.md5("payload"))
+        .groupBy("payload_md5")
+        .agg(
+            F.min(F.struct("media_id", "kind")).alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select(
+            F.col("w.media_id").alias("media_id"),
+            F.col("w.kind").alias("kind"),
+            "payload_md5",
+            "n_copies",
+        )
     )
-    return ranked.where(F.col("rn") == 1).drop("rn")

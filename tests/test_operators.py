@@ -1258,6 +1258,11 @@ def test_block_dedup_span_semantics(spark):
     assert got[6]["clean_text"] == "u v w x y z z2 z3 tail one"
     assert (got[6]["n_blocks"], got[6]["n_removed"]) == (3, 1)
 
+    # skew posture: keep-first is a hash aggregate (map-side combine on
+    # hot boilerplate blocks), never a per-key row_number sort window
+    plan = block_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
 
 def test_context_window_trim_suffix_budget(spark):
     """Suffix-budget truncation keeps the longest suffix of turns whose
