@@ -216,3 +216,29 @@ def hll_summary(regs: DataFrame) -> DataFrame:
             * F.lit(1 << 51).cast("bigint")
         ).alias("s_scaled"),
     )
+
+
+def bottomk_sample(items: DataFrame, k: int = 64) -> DataFrame:
+    """Min-wise (bottom-k) sample: the ``k`` distinct terms with the
+    smallest portable md5 hash — a uniform-without-replacement sample of
+    the distinct-term set that is MERGEABLE (bottom-k of a union equals
+    bottom-k of the concatenated per-split bottom-k's), deterministic,
+    and replay-stable. The third classic mergeable sketch beside
+    ``cms_build`` (frequency) and ``hll_registers`` (cardinality); the
+    same hash doubles as an inclusion-probability estimator (the k-th
+    smallest hash estimates distinct count, cross-checked against HLL).
+
+    Scale posture: distinct is one hash aggregate (map-side combine);
+    the bottom-k itself is ``TakeOrdered`` — a per-partition heap + a
+    k-row driver merge, never a global sort.
+    """
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        items.select("term")
+        .distinct()
+        .select("term", h.alias("h"))
+        .orderBy("h", "term")
+        .limit(k)
+    )

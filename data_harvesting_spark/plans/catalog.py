@@ -80,6 +80,7 @@ _WINDOW_TAIL = [
     "doc_decontaminate",
     "dedup_components",
     "dedup_increment",
+    "cosine_topk",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

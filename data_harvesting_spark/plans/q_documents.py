@@ -2523,3 +2523,45 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+# ------------------------------------------------------------ bottom-k sample
+_BOTTOMK_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+  FROM d)
+SELECT term,
+       CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+FROM sh
+ORDER BY h, term
+LIMIT 64
+"""
+
+
+@register("shingle_sample_bottomk", _BOTTOMK_SQL)
+def q_shingle_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-64 min-wise sample of the distinct corpus
+    shingles: one distinct hash aggregate + TakeOrdered (per-partition
+    heap, never a global sort) — the deterministic uniform sample
+    primitive that composes across executors, epochs, and datasets."""
+    from data_harvesting_spark.functions.text import normalize_text
+    from data_harvesting_spark.operators.sketch import bottomk_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(normalize_text("text"), " ")
+    sh = docs.select(w.alias("w")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(0, size(w)-3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END"
+            )
+        ).alias("term")
+    )
+    return bottomk_sample(sh, k=64)

@@ -1341,22 +1341,32 @@ def start_sketch_stream_job(
     available_now: bool = True,
     depth: int = 4,
     width: int = 8192,
+    top_n: int = 10,
+    cand_m: int = 40,
 ):
     """Streaming corpus telemetry via mergeable sketches: every epoch
     folds its turn-text words into a cumulative count-min sketch
     (cell-wise SUM) and HyperLogLog registers (bucket-wise MAX), then
     emits one monitoring row — cumulative word count, distinct-word HLL
-    estimate, registers/cells used. The continuous analog of the
-    reference's in-process tally prints
-    (`/root/reference/utils/time_verbose_object.py:29-44` +
+    estimate, registers/cells used, and the current top-``top_n`` heavy
+    hitters. The continuous analog of the reference's in-process tally
+    prints (`/root/reference/utils/time_verbose_object.py:29-44` +
     `harvest_service.py:198-232`), built on the mergeability the batch
     tests pin: the final ledger equals the one-shot batch sketch over
     the same rows EXACTLY, so a backfill and the stream agree.
 
-    State is O(sketch) — ``depth×width + HLL_M`` rows, independent of
-    stream length — and NEVER evicts: unlike the dedup/boilerplate
-    ledgers there is no per-key state to bound, that is the entire point
-    of sketching the stream instead of keying it.
+    Heavy hitters are the classic CMS+heap composition: a CMS alone
+    cannot enumerate keys, so the ledger carries a bounded CANDIDATE set
+    — each epoch's local top-``cand_m`` terms union the surviving
+    candidates, every candidate re-probed against the cumulative sketch,
+    top-``top_n`` kept. A term is tracked from the first epoch it is
+    locally heavy in (the standard guarantee of this composition); the
+    stream==batch test pins exact agreement on a skew-clear corpus.
+
+    State is O(sketch) — ``depth×width + HLL_M + top_n`` rows,
+    independent of stream length — and NEVER evicts: unlike the
+    dedup/boilerplate ledgers there is no per-key state to bound, that
+    is the entire point of sketching the stream instead of keying it.
 
     Exactly-once composition is the frozen-pre-state pattern
     (``_read_cap_ledger``): epoch N reads snapshot N-1, writes snapshot
@@ -1368,6 +1378,7 @@ def start_sketch_stream_job(
         HLL_M,
         HLL_NUMERATOR,
         cms_build,
+        cms_estimate,
         hll_registers,
     )
 
@@ -1408,10 +1419,19 @@ def start_sketch_stream_job(
             )
             batch_state = cms_rows.unionByName(hll_rows).unionByName(n_rows)
             prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+            if prior is None:
+                prior_sketch, prior_cand = None, None
+            else:
+                prior_sketch = prior.where(F.col("kind") != "cand").select(
+                    "kind", "r", "c", "v"
+                )
+                prior_cand = prior.where(F.col("kind") == "cand").select(
+                    "term"
+                )
             merged = (
                 batch_state
-                if prior is None
-                else prior.unionByName(batch_state)
+                if prior_sketch is None
+                else prior_sketch.unionByName(batch_state)
             )
             snapshot = (
                 merged.groupBy("kind", "r", "c")
@@ -1421,6 +1441,33 @@ def start_sketch_stream_job(
                     .cast("long")
                     .alias("v")
                 )
+                .persist()
+            )
+
+            # CMS+heap heavy hitters: bounded candidate refresh + probe
+            # of the CUMULATIVE sketch (so counts span all epochs even
+            # for terms that just entered the candidate set)
+            batch_top = (
+                words.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("bc"))
+                .orderBy(F.desc("bc"), "term")
+                .limit(cand_m)
+                .select("term")
+            )
+            cand = (
+                batch_top
+                if prior_cand is None
+                else batch_top.union(prior_cand).distinct()
+            )
+            cum_cells = snapshot.where(F.col("kind") == "cms").select(
+                F.col("r").alias("row"),
+                F.col("c").alias("col"),
+                F.col("v").alias("cnt"),
+            )
+            top = (
+                cms_estimate(cum_cells, cand, depth=depth, width=width)
+                .orderBy(F.desc("cms_cnt"), "term")
+                .limit(top_n)
                 .persist()
             )
 
@@ -1440,9 +1487,22 @@ def start_sketch_stream_job(
             cells = snapshot.where(F.col("kind") == "cms").agg(
                 F.count(F.lit(1)).cast("bigint").alias("cms_cells_used")
             )
+            top_terms = top.agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cms_cnt")).alias("nk"), "term"
+                            )
+                        )
+                    ),
+                    lambda s: s["term"],
+                ).alias("top_terms")
+            )
             report = (
                 hll_sum.crossJoin(totals)
                 .crossJoin(cells)
+                .crossJoin(top_terms)
                 .select(
                     F.lit(epoch_id).cast("long").alias("epoch"),
                     "n_words_cum",
@@ -1457,13 +1517,24 @@ def start_sketch_stream_job(
                     ).alias("hll_distinct_words"),
                     "registers_used",
                     "cms_cells_used",
+                    "top_terms",
                 )
             )
             write_epoch(report, epoch_id, sink_path)
-            snapshot.coalesce(4).write.mode("overwrite").parquet(
-                os.path.join(ledger_path, f"_epoch={epoch_id}")
+            cand_rows = top.select(
+                F.lit("cand").alias("kind"),
+                F.lit(0).alias("r"),
+                F.lit(0).cast("long").alias("c"),
+                F.col("cms_cnt").cast("long").alias("v"),
+                "term",
             )
+            snapshot.withColumn(
+                "term", F.lit(None).cast("string")
+            ).unionByName(cand_rows).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(ledger_path, f"_epoch={epoch_id}"))
             snapshot.unpersist()
+            top.unpersist()
             _prune_cap_ledger(ledger_path, epoch_id)
         finally:
             words.unpersist()

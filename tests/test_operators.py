@@ -1608,3 +1608,41 @@ def test_new_operators_edge_inputs(spark):
     )
     kept = context_window_trim(one, budget=2).collect()
     assert len(kept) == 1 and kept[0]["n_tokens"] == 10
+
+
+def test_bottomk_sample_mergeable_and_heap_plan(spark):
+    """Min-wise bottom-k: deterministic (same input → same sample),
+    duplicate-insensitive (sampling the DISTINCT set), and mergeable —
+    bottom-k of a union equals bottom-k over the concatenated per-split
+    bottom-k's. Plan: TakeOrdered (per-partition heap), no global sort
+    exchange."""
+    from data_harvesting_spark.operators.sketch import bottomk_sample
+
+    a = spark.range(500).select(
+        F.concat(F.lit("t-"), F.col("id").cast("string")).alias("term")
+    )
+    b = spark.range(400, 900).select(
+        F.concat(F.lit("t-"), F.col("id").cast("string")).alias("term")
+    )
+    k = 16
+    whole = bottomk_sample(a.union(b), k=k).toPandas()
+    merged = bottomk_sample(
+        bottomk_sample(a, k=k).select("term").union(
+            bottomk_sample(b, k=k).select("term")
+        ),
+        k=k,
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), merged.reset_index(drop=True)
+    )
+    # duplicate-insensitive: tripling the stream changes nothing
+    tripled = bottomk_sample(a.union(a).union(a), k=k).toPandas()
+    pd.testing.assert_frame_equal(
+        bottomk_sample(a, k=k).toPandas().reset_index(drop=True),
+        tripled.reset_index(drop=True),
+    )
+    plan = (
+        bottomk_sample(a, k=k)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrdered", ""), plan

@@ -2487,6 +2487,18 @@ def test_sketch_stream_final_state_equals_batch(
     assert rows["hll_distinct_words"].iloc[-1] == batch["hll_estimate"]
     assert rows["registers_used"].iloc[-1] == batch["registers_used"]
 
+    # CMS+heap heavy hitters: the final cumulative top list equals the
+    # exact batch frequency order (8 distinct terms, sketch is exact at
+    # this width) — alpha×4, beta×3, then the singletons by term
+    assert list(rows["top_terms"].iloc[-1]) == [
+        "alpha", "beta", "delta", "epsilon", "eta", "gamma", "theta",
+        "zeta",
+    ]
+    # candidate rows live in the ledger, bounded by top_n
+    cand = led.where(F.col("kind") == "cand").toPandas()
+    assert 0 < len(cand) <= 10
+    assert cand.loc[cand["v"].idxmax(), "term"] == "alpha"
+
 
 def test_sketch_stream_kill_and_resume(spark, sketch_batches, tmp_path):
     """W7 on the sketch stream: stop mid-input, resume from checkpoint —
