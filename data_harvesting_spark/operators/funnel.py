@@ -48,21 +48,54 @@ def merge_stage_mins(prior: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
-def funnel_report(stage_mins: DataFrame) -> DataFrame:
-    """Ordering + counting over the folded state: a later stage counts
-    only when it strictly follows the user's earliest prior-stage event
-    (first-touch attribution)."""
-    ordered = stage_mins.select(
+def funnel_outcomes(
+    stage_mins: DataFrame, attribution_window_s: int | None = None
+) -> DataFrame:
+    """Per-user ordering decisions over the folded state: a later stage
+    counts only when it strictly follows the user's earliest
+    prior-stage event (first-touch attribution). With
+    ``attribution_window_s`` set, stages additionally must land within
+    that many seconds of the signup — the bounded-attribution rule that
+    makes per-user state FINALIZABLE in the streaming fold."""
+    in_window = (
+        F.lit(True)
+        if attribution_window_s is None
+        else (
+            F.col("t_view")
+            <= F.col("t_signup")
+            + F.make_interval(secs=F.lit(attribution_window_s))
+        )
+    )
+    in_window_p = (
+        F.lit(True)
+        if attribution_window_s is None
+        else (
+            F.col("t_purchase")
+            <= F.col("t_signup")
+            + F.make_interval(secs=F.lit(attribution_window_s))
+        )
+    )
+    return stage_mins.select(
         "t_signup",
-        F.when(F.col("t_view") > F.col("t_signup"), F.col("t_view")).alias(
-            "t_view_ok"
-        ),
+        F.when(
+            (F.col("t_view") > F.col("t_signup")) & in_window,
+            F.col("t_view"),
+        ).alias("t_view_ok"),
         F.when(
             (F.col("t_purchase") > F.col("t_view"))
-            & (F.col("t_view") > F.col("t_signup")),
+            & (F.col("t_view") > F.col("t_signup"))
+            & in_window
+            & in_window_p,
             F.col("t_purchase"),
         ).alias("t_purchase_ok"),
     )
+
+
+def funnel_report(
+    stage_mins: DataFrame, attribution_window_s: int | None = None
+) -> DataFrame:
+    """Counting over :func:`funnel_outcomes`."""
+    ordered = funnel_outcomes(stage_mins, attribution_window_s)
     return ordered.agg(
         F.count("t_signup").cast("bigint").alias("n_signup"),
         F.count("t_view_ok").cast("bigint").alias("n_signup_view"),

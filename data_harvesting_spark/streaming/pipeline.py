@@ -1571,6 +1571,7 @@ def start_funnel_stream_job(
     sink_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    attribution_window: str | None = None,
 ):
     """Continuous first-touch funnel over the event stream: every epoch
     min-merges its per-user per-stage timestamps into the ledger and
@@ -1584,18 +1585,34 @@ def start_funnel_stream_job(
     epochs. The stream==batch test pins this with stages arriving out of
     order across micro-batches.
 
-    State is O(active users) × 3 timestamps. Eviction intentionally does
-    NOT apply: dropping a user's signup would un-credit a later
-    conversion (min-merge is not retention-safe the way the dedup
-    ledgers are); the attribution-window variant — evict users whose
-    t_signup is older than the window, since they can no longer convert
-    differently — is the documented knob for unbounded user spaces.
+    Unbounded mode (``attribution_window=None``): state is O(all users)
+    × 3 timestamps and never evicts — dropping a user's signup would
+    un-credit a later conversion (min-merge is not retention-safe the
+    way the dedup ledgers are).
+
+    Bounded mode (``attribution_window`` set, e.g. ``"30 days"``):
+    stages only count within the window after signup — the standard
+    attribution rule — which makes users FINALIZABLE: once the batch
+    max event time passes ``t_signup + window + watermark_delay``, no
+    in-window event can still arrive (the watermark bounds lateness),
+    so the user's 0/1 stage outcomes fold into three persistent COUNTER
+    cells and the user row leaves the ledger. No-signup users whose
+    last stage activity has aged past the watermark are dropped
+    outright (a pre-signup stage can never count, and any future signup
+    must carry a newer event time than their stages). Ledger width is
+    O(users inside the attribution horizon) + 1 counter row, and the
+    cumulative report stays EXACT under the windowed rule — eviction
+    moves finalized truth into counters, it never forgets it.
 
     Exactly-once: frozen-pre-state snapshots (``_read_cap_ledger``
     protocol) + idempotent epoch sink, as every sibling job.
     """
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
     from data_harvesting_spark.operators.funnel import (
         FUNNEL_STAGES,
+        funnel_outcomes,
         funnel_report,
         funnel_stage_mins,
         merge_stage_mins,
@@ -1604,6 +1621,13 @@ def start_funnel_stream_job(
     ledger_path = sink_path.rstrip("/") + ".funnel"
     stream = read_event_stream(spark, source_dir)
     cols = [f"t_{s}" for s in FUNNEL_STAGES]
+    fcols = ["f_signup", "f_view", "f_purchase"]
+    win_s = (
+        int(parse_duration_seconds(attribution_window))
+        if attribution_window
+        else None
+    )
+    delay_s = int(parse_duration_seconds(cfg.watermark_delay))
 
     def batch_writer(df: DataFrame, epoch_id: int) -> None:
         from data_harvesting_spark.streaming.sink import write_epoch
@@ -1611,18 +1635,123 @@ def start_funnel_stream_job(
         sp = df.sparkSession
         batch_mins = funnel_stage_mins(df)
         prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+        if prior is None:
+            prior_users, prior_counts = None, (0, 0, 0)
+        elif win_s is None:
+            prior_users, prior_counts = prior, (0, 0, 0)
+        else:
+            prior_users = prior.where(F.col("user_id").isNotNull()).select(
+                "user_id", *cols
+            )
+            crow = prior.where(F.col("user_id").isNull()).select(*fcols)
+            got = crow.collect()
+            prior_counts = (
+                (got[0][0] or 0, got[0][1] or 0, got[0][2] or 0)
+                if got
+                else (0, 0, 0)
+            )
         state = (
             batch_mins
-            if prior is None
-            else merge_stage_mins(prior, batch_mins)
+            if prior_users is None
+            else merge_stage_mins(prior_users, batch_mins)
         ).persist()
-        report = funnel_report(state).select(
-            F.lit(epoch_id).cast("long").alias("epoch"), "*"
+
+        if win_s is None:
+            live, counts = state, (0, 0, 0)
+        else:
+            hi = df.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+            horizon = (
+                F.lit(hi)
+                - F.make_interval(secs=F.lit(win_s + delay_s))
+            )
+            dead_horizon = F.lit(hi) - F.make_interval(secs=F.lit(delay_s))
+            finalized = state.where(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_signup") < horizon)
+            )
+            dead = state.where(
+                F.col("t_signup").isNull()
+                & (
+                    F.greatest(
+                        F.coalesce(
+                            "t_view", F.lit("1970-01-01").cast("timestamp")
+                        ),
+                        F.coalesce(
+                            "t_purchase",
+                            F.lit("1970-01-01").cast("timestamp"),
+                        ),
+                    )
+                    < dead_horizon
+                )
+            )
+            frow = (
+                funnel_outcomes(finalized, win_s)
+                .agg(
+                    F.count("t_signup").alias("s"),
+                    F.count("t_view_ok").alias("v"),
+                    F.count("t_purchase_ok").alias("p"),
+                )
+                .collect()[0]
+            )
+            counts = (
+                prior_counts[0] + frow["s"],
+                prior_counts[1] + frow["v"],
+                prior_counts[2] + frow["p"],
+            )
+            gone = finalized.select("user_id").union(dead.select("user_id"))
+            live = state.join(gone, "user_id", "left_anti").persist()
+
+        live_counts = (
+            funnel_outcomes(live, win_s)
+            .agg(
+                F.count("t_signup").alias("s"),
+                F.count("t_view_ok").alias("v"),
+                F.count("t_purchase_ok").alias("p"),
+            )
+        )
+        report = live_counts.select(
+            F.lit(epoch_id).cast("long").alias("epoch"),
+            (F.col("s") + F.lit(counts[0])).cast("bigint").alias("n_signup"),
+            (F.col("v") + F.lit(counts[1]))
+            .cast("bigint")
+            .alias("n_signup_view"),
+            (F.col("p") + F.lit(counts[2]))
+            .cast("bigint")
+            .alias("n_signup_view_purchase"),
+            F.round(
+                F.try_divide(
+                    F.col("v") + F.lit(counts[1]),
+                    F.col("s") + F.lit(counts[0]),
+                ),
+                6,
+            ).alias("conv_view"),
+            F.round(
+                F.try_divide(
+                    F.col("p") + F.lit(counts[2]),
+                    F.col("v") + F.lit(counts[1]),
+                ),
+                6,
+            ).alias("conv_purchase"),
         )
         write_epoch(report, epoch_id, sink_path)
-        state.select("user_id", *cols).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(ledger_path, f"_epoch={epoch_id}"))
+        snapshot = live.select("user_id", *cols)
+        if win_s is not None:
+            counter_row = sp.createDataFrame(
+                [(None, None, None, None, counts[0], counts[1], counts[2])],
+                "user_id long, t_signup timestamp, t_view timestamp, "
+                "t_purchase timestamp, f_signup long, f_view long, "
+                "f_purchase long",
+            )
+            snapshot = snapshot.select(
+                "user_id",
+                *cols,
+                *[F.lit(None).cast("long").alias(c) for c in fcols],
+            ).unionByName(counter_row)
+        snapshot.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"_epoch={epoch_id}")
+        )
+        if live is not state:
+            live.unpersist()
         state.unpersist()
         _prune_cap_ledger(ledger_path, epoch_id)
 

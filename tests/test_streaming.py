@@ -2681,3 +2681,134 @@ def test_funnel_stream_kill_and_resume(spark, funnel_batches, tmp_path):
         last["n_signup_view"],
         last["n_signup_view_purchase"],
     ) == (3, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def funnel_window_batches(tmp_path_factory):
+    """Event-time spread wide enough (minutes apart) that the 2-minute
+    attribution window + 10-minute watermark finalize early users while
+    the stream is still running."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    files = [
+        # u1 full funnel inside the window; u2 signup only
+        [ev(1, 1, "signup", 0), ev(2, 1, "view", 30),
+         ev(3, 1, "purchase", 60), ev(4, 2, "signup", 60)],
+        # 20 minutes later: u1+u2 pass the finalization horizon here
+        [ev(5, 3, "signup", 1200), ev(6, 3, "view", 1230)],
+        # 40 minutes: u3 finalizes too; only u4 stays live
+        [ev(7, 4, "signup", 2400), ev(8, 4, "view", 2430)],
+    ]
+    d = tmp_path_factory.mktemp("funnel_win_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_funnel_stream_attribution_window_finalizes_exactly(
+    spark, funnel_window_batches, tmp_path
+):
+    """Bounded mode: finalized users leave the ledger (their outcomes
+    fold into the counter row) and the cumulative report still equals
+    the windowed batch funnel over all events — eviction moves truth,
+    never loses it."""
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
+    )
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_window_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, attribution_window="2 minutes",
+    )
+    drain(q)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    src = spark.read.parquet(funnel_window_batches + "/*.parquet")
+    want = funnel_report(funnel_stage_mins(src), 120).collect()[0]
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (want["n_signup"], want["n_signup_view"],
+          want["n_signup_view_purchase"]) == (4, 3, 1)
+
+    # ledger: only the still-live user (u4) plus the counter row remain
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".funnel")
+    pdf = led.toPandas()
+    users = pdf[pdf["user_id"].notna()]
+    counter = pdf[pdf["user_id"].isna()]
+    assert set(users["user_id"]) == {4}
+    assert len(counter) == 1
+    assert (
+        int(counter["f_signup"].iloc[0]),
+        int(counter["f_view"].iloc[0]),
+        int(counter["f_purchase"].iloc[0]),
+    ) == (3, 2, 1)
+
+
+def test_funnel_stream_attribution_window_kill_and_resume(
+    spark, funnel_window_batches, tmp_path
+):
+    """W7 in bounded mode: a replayed epoch re-derives the counter row
+    from the frozen prior snapshot, so counts never double."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_window_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, attribution_window="2 minutes",
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_funnel_stream_job(
+        spark, funnel_window_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, attribution_window="2 minutes",
+    )
+    drain(q2)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (4, 3, 1)
