@@ -81,6 +81,8 @@ _WINDOW_TAIL = [
     "dedup_components",
     "dedup_increment",
     "cosine_topk",
+    "simhash_near_dups",
+    "embedding_near_dup_exact",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2565,3 +2565,90 @@ def q_shingle_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return bottomk_sample(sh, k=64)
+
+
+# --------------------------------------------------------------- collocations
+# Lift instead of PMI on purpose: lift = N·c(xy) / (c(x)·c(y)) is a pure
+# integer rational with ONE final double division — engine-exact — where
+# PMI's log() is not pinned cross-engine by IEEE.
+_COLLOC_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+  FROM d),
+pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg),
+pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+       FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(w) AS w FROM d) x GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(w) AS w FROM d) x)
+SELECT p.w1, p.w2, p.c_xy, a.c AS c_x, b.c AS c_y,
+       round(p.c_xy * t.n * 1.0 / (a.c * b.c), 6) AS lift
+FROM pc p
+JOIN uni a ON p.w1 = a.w
+JOIN uni b ON p.w2 = b.w
+CROSS JOIN tot t
+WHERE p.c_xy >= 5
+ORDER BY lift DESC, p.w1, p.w2
+LIMIT 50
+"""
+
+
+@register("word_pair_lift", _COLLOC_SQL)
+def q_word_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by lift: adjacent bigrams built per row (no
+    shuffle), ONE (w1, w2) hash aggregate, then the Heaps-bounded
+    unigram table broadcast in twice and the scalar total as a 1-row
+    crossJoin; top-50 is TakeOrdered. Lift keeps the arithmetic an
+    integer rational so the oracle matches exactly (PMI's log would
+    not)."""
+    from data_harvesting_spark.functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(F.split(normalize_text("text"), " ").alias("w"))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(w)-2), "
+                "i -> struct(w[i] AS w1, w[i+1] AS w2)) END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    words = d.select(F.explode("w").alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = words.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        pc.where(F.col("c_xy") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.col("c_xy") * F.col("n") / (F.col("c_x") * F.col("c_y")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )

@@ -285,3 +285,73 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return funnel_report(funnel_stage_mins(e))
+
+
+# ---------------------------------------------------------------- cohort table
+@register(
+    "cohort_retention",
+    """
+WITH signup AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+cohort_size AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM signup GROUP BY cohort_week),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+  FROM events),
+cells AS (
+  SELECT s.cohort_week,
+         CAST(floor((epoch(a.activity_week) - epoch(s.cohort_week))
+                    / 604800) AS INT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM activity a JOIN signup s USING (user_id)
+  WHERE a.activity_week >= s.cohort_week
+  GROUP BY 1, 2)
+SELECT c.cohort_week, c.week_offset, c.n_active, z.n_cohort,
+       round(c.n_active * 1.0 / z.n_cohort, 6) AS retention
+FROM cells c JOIN cohort_size z USING (cohort_week)
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: per-user signup week (one user_id
+    agg), distinct (user, activity-week) pairs (one agg), ONE user_id
+    shuffle join between them, then a (cohort, offset) rollup with the
+    tiny cohort-size dim broadcast back. No window functions, no
+    self-join of the raw event log."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    cohort_size = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    cells = (
+        activity.join(signup, "user_id")
+        .where(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp("activity_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
