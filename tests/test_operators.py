@@ -1646,3 +1646,89 @@ def test_bottomk_sample_mergeable_and_heap_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.replace("TakeOrdered", ""), plan
+
+
+def test_block_dedup_matches_bruteforce_random(spark):
+    """Randomized corpora (seeded) vs a pure-Python reference of the
+    keep-first-block rule: global first occurrence by (doc_id, bpos),
+    reassembly in original order, counts exact."""
+    import random
+
+    from data_harvesting_spark.operators.dedup import block_dedup
+
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real collisions
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(1, 21)
+        ]
+
+        def norm_words(t):
+            return [w for w in t.lower().split() if w]
+
+        bw = 8
+        seen, want = set(), {}
+        for did, text in docs:
+            ws = norm_words(text)
+            blocks = [
+                " ".join(ws[i:i + bw]) for i in range(0, len(ws), bw)
+            ]
+            kept = []
+            for b in blocks:
+                if b not in seen:
+                    seen.add(b)
+                    kept.append(b)
+            want[did] = (
+                " ".join(kept), len(blocks), len(blocks) - len(kept)
+            )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_blocks"], r["n_removed"])
+            for r in block_dedup(df, block_words=bw).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_context_trim_matches_bruteforce_random(spark):
+    """Randomized conversations vs a pure-Python reference of the
+    suffix-budget rule for several budgets."""
+    import datetime as dt
+    import random
+
+    from data_harvesting_spark.operators.curate import context_window_trim
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    rng = random.Random(41)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for c in range(8):
+        for i in range(rng.randrange(1, 9)):
+            n = rng.randrange(0, 7)
+            rows.append(
+                (f"c{c}", i, "user", " ".join(["tok"] * n), None,
+                 t0 + dt.timedelta(seconds=i))
+            )
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+    for budget in (0, 3, 7, 100):
+        got = {}
+        for r in context_window_trim(df, budget=budget).collect():
+            got.setdefault(r["conv_id"], set()).add(r["turn_idx"])
+        want = {}
+        by_conv = {}
+        for cid, i, _, text, _, _ in rows:
+            by_conv.setdefault(cid, []).append((i, len(text.split())))
+        for cid, turns in by_conv.items():
+            turns.sort()
+            kept, total = set(), 0
+            for i, n in reversed(turns):
+                if total + n <= budget or not kept:
+                    kept.add(i)
+                    total += n
+                else:
+                    break
+            want[cid] = kept
+        assert got == want, f"budget {budget}"
