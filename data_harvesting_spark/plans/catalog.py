@@ -83,6 +83,7 @@ _WINDOW_TAIL = [
     "cosine_topk",
     "simhash_near_dups",
     "embedding_near_dup_exact",
+    "ann_lsh_topk",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2652,3 +2652,77 @@ def q_word_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(50)
     )
+
+
+# ------------------------------------------------------------ composite gate
+# The documents-side analog of `training_export`: every per-doc quality
+# gate the catalog ships, composed into one keep/drop report — the query
+# a corpus curator actually runs. Oracle = the same five oracle bodies
+# embedded as CTEs (DuckDB scopes nested WITHs per subquery), joined on
+# doc_id.
+_GATE_SQL = f"""
+WITH rep AS ({_REPETITION_SQL}),
+lang AS ({_LANG_SQL}),
+bad AS ({_BADWORDS_SQL}),
+lm AS ({_LM_SCORE_SQL}),
+band AS ({_LENBAND_SQL})
+SELECT r.doc_id,
+       r.repetitive,
+       (l.lang = l.lang_guess) AS lang_match,
+       b.flagged AS badwords_flagged,
+       lm.lm_score,
+       (lm.lm_score <= 3.5) AS lm_ok,
+       (band.doc_id IS NOT NULL) AS in_length_band,
+       (NOT r.repetitive AND l.lang = l.lang_guess AND NOT b.flagged
+        AND lm.lm_score <= 3.5 AND band.doc_id IS NOT NULL) AS keep
+FROM rep r
+JOIN lang l USING (doc_id)
+JOIN bad b USING (doc_id)
+JOIN lm USING (doc_id)
+LEFT JOIN band ON r.doc_id = band.doc_id
+"""
+
+
+@register("doc_gate_report", _GATE_SQL)
+def q_doc_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-curation gate stack in one report: Gopher repetition,
+    language-ID agreement, C4 blocklist, LM perplexity-proxy threshold,
+    and the percentile length band, joined on doc_id into per-gate
+    booleans plus the final keep flag. Each gate derives from its own
+    scan (columnar, cheap) and the joins co-partition on doc_id after
+    the first exchange; a fused single-derivation variant would save
+    scans at the cost of entangling the per-gate operators — the
+    composition is the point here, exactly like `training_export`."""
+    rep = q_doc_repetition(spark, sf_dir).select("doc_id", "repetitive")
+    lang = q_doc_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == F.col("lang_guess")).alias("lang_match")
+    )
+    bad = q_doc_badwords(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("badwords_flagged")
+    )
+    lm = q_doc_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+    band = q_doc_length_band(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_in_band")
+    )
+    return (
+        rep.join(lang, "doc_id")
+        .join(bad, "doc_id")
+        .join(lm, "doc_id")
+        .join(band, "doc_id", "left")
+        .select(
+            "doc_id",
+            "repetitive",
+            "lang_match",
+            "badwords_flagged",
+            "lm_score",
+            (F.col("lm_score") <= 3.5).alias("lm_ok"),
+            F.coalesce("_in_band", F.lit(False)).alias("in_length_band"),
+            (
+                ~F.col("repetitive")
+                & F.col("lang_match")
+                & ~F.col("badwords_flagged")
+                & (F.col("lm_score") <= 3.5)
+                & F.coalesce("_in_band", F.lit(False))
+            ).alias("keep"),
+        )
+    )
