@@ -84,6 +84,7 @@ _WINDOW_TAIL = [
     "simhash_near_dups",
     "embedding_near_dup_exact",
     "ann_lsh_topk",
+    "embedding_centroid_k1",
     "sessionize",
     "harvest_rates_role_sliding",
     "dataset_split",

@@ -2726,3 +2726,124 @@ def q_doc_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------- HLL set algebra (A ∩ B)
+# Sketch set-algebra: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+# union estimate comes from MAX-merging the two register tables — no
+# re-scan of the union stream. All harmonic sums stay exact int64; the
+# three divisions and their fixed-order sum are written identically in
+# both engines, so the estimate matches bit-for-bit. A = the 'src0'
+# source's distinct shingles, B = the rest of the corpus — "how much
+# does this source's content overlap everything else".
+
+
+def _hll_rho_sql(pred: str) -> str:
+    return f"""
+  SELECT h & 1023 AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 10)) END AS rho
+  FROM (
+    SELECT CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+      FROM (
+        SELECT string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE {pred}) dd) sh) hh
+"""
+
+
+_HLL_OVERLAP_SQL = f"""
+WITH ra AS (SELECT bucket, max(rho) AS m_j FROM ({_hll_rho_sql("source = 'src0'")}) x GROUP BY bucket),
+rb AS (SELECT bucket, max(rho) AS m_j FROM ({_hll_rho_sql("source <> 'src0'")}) x GROUP BY bucket),
+ru AS (SELECT bucket, max(m_j) AS m_j FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) x GROUP BY bucket),
+s AS (
+  SELECT
+    (SELECT CAST(coalesce(sum((1::BIGINT) << (51 - m_j)), 0)
+                 + (1024 - count(*)) * (1::BIGINT << 51) AS BIGINT) FROM ra) AS s_a,
+    (SELECT CAST(coalesce(sum((1::BIGINT) << (51 - m_j)), 0)
+                 + (1024 - count(*)) * (1::BIGINT << 51) AS BIGINT) FROM rb) AS s_b,
+    (SELECT CAST(coalesce(sum((1::BIGINT) << (51 - m_j)), 0)
+                 + (1024 - count(*)) * (1::BIGINT << 51) AS BIGINT) FROM ru) AS s_u),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+    SELECT DISTINCT term FROM (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+      FROM (SELECT string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents WHERE source = 'src0') d1) a
+    WHERE term IN (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      FROM (SELECT string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents WHERE source <> 'src0') d2)))
+SELECT round({{NUM}} / s_a, 2) AS est_a,
+       round({{NUM}} / s_b, 2) AS est_b,
+       round({{NUM}} / s_u, 2) AS est_union,
+       round({{NUM}} / s_a + {{NUM}} / s_b - {{NUM}} / s_u, 2) AS est_intersect,
+       ex.exact_intersect
+FROM s, ex
+"""
+
+
+@register(
+    "hll_source_overlap",
+    _HLL_OVERLAP_SQL.replace("{NUM}", repr(_HLL_NUM)),
+)
+def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL inclusion–exclusion: per-split register tables MAX-merge into
+    the union sketch (no union-stream re-scan), |A∩B| estimated from
+    three exact-int harmonic sums and a fixed-order double expression.
+    The exact intersection rides alongside as the verification column."""
+    from data_harvesting_spark.functions.text import normalize_text
+    from data_harvesting_spark.operators.sketch import (
+        HLL_NUMERATOR,
+        hll_registers,
+        hll_summary,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(normalize_text("text"), " ")
+
+    def shingles(pred):
+        return (
+            docs.where(pred)
+            .select(w.alias("w"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(w) < 3 THEN array() "
+                        "ELSE transform(sequence(0, size(w)-3), "
+                        "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END"
+                    )
+                ).alias("term")
+            )
+        )
+
+    a, b = shingles(F.col("source") == "src0"), shingles(
+        F.col("source") != "src0"
+    )
+    ra, rb = hll_registers(a), hll_registers(b)
+    ru = ra.union(rb).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    sa = hll_summary(ra).select(F.col("s_scaled").alias("s_a"))
+    sb = hll_summary(rb).select(F.col("s_scaled").alias("s_b"))
+    su = hll_summary(ru).select(F.col("s_scaled").alias("s_u"))
+    exact = a.distinct().join(b.distinct(), "term", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersect")
+    )
+    n = F.lit(HLL_NUMERATOR)
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(exact)
+        .select(
+            F.round(n / F.col("s_a"), 2).alias("est_a"),
+            F.round(n / F.col("s_b"), 2).alias("est_b"),
+            F.round(n / F.col("s_u"), 2).alias("est_union"),
+            F.round(
+                n / F.col("s_a") + n / F.col("s_b") - n / F.col("s_u"), 2
+            ).alias("est_intersect"),
+            "exact_intersect",
+        )
+    )
