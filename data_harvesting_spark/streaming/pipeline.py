@@ -1596,13 +1596,33 @@ def start_funnel_stream_job(
     max event time passes ``t_signup + window + watermark_delay``, no
     in-window event can still arrive (the watermark bounds lateness),
     so the user's 0/1 stage outcomes fold into three persistent COUNTER
-    cells and the user row leaves the ledger. No-signup users whose
-    last stage activity has aged past the watermark are dropped
-    outright (a pre-signup stage can never count, and any future signup
-    must carry a newer event time than their stages). Ledger width is
-    O(users inside the attribution horizon) + 1 counter row, and the
-    cumulative report stays EXACT under the windowed rule — eviction
-    moves finalized truth into counters, it never forgets it.
+    cells and the user row COMPRESSES to a ``done`` tombstone
+    (user_id + flag, timestamps nulled). The tombstone is what keeps
+    the report exact if the same user signs up AGAIN later: the batch
+    funnel's first-touch min keeps the original (already-counted)
+    signup, so the stream must ignore the re-entry rather than count
+    the user twice — ``done`` rows are excluded from both the live
+    scan and re-finalization forever.
+
+    No-signup users whose last stage activity has aged past the
+    watermark compress too: their non-null stage timestamps collapse to
+    the epoch sentinel (1970-01-01). Under the watermark contract any
+    FUTURE signup carries a newer event time than those stages, so in
+    the batch funnel the first-touch stage min stays pre-signup and the
+    stage is denied (`t_view > t_signup` is strict); the sentinel
+    reproduces exactly that denial while dropping the actual values.
+    A poisoned stage the user never had stays NULL, so a genuinely new
+    post-signup stage still counts — sentinel rows and batch agree on
+    every comparison the report makes.
+
+    Ledger width is O(users inside the attribution horizon) full rows
+    + O(evicted users) compact tombstones + 1 counter row. The
+    tombstones are the information-theoretic floor: exactness under
+    arbitrary user re-appearance requires remembering at least the set
+    of users whose outcome is already decided. The cumulative report
+    stays EXACT under the windowed rule — eviction compresses truth,
+    it never forgets it (pinned by the signup-after-dead-eviction and
+    re-signup-after-finalization tests).
 
     Exactly-once: frozen-pre-state snapshots (``_read_cap_ledger``
     protocol) + idempotent epoch sink, as every sibling job.
@@ -1613,9 +1633,7 @@ def start_funnel_stream_job(
     from data_harvesting_spark.operators.funnel import (
         FUNNEL_STAGES,
         funnel_outcomes,
-        funnel_report,
         funnel_stage_mins,
-        merge_stage_mins,
     )
 
     ledger_path = sink_path.rstrip("/") + ".funnel"
@@ -1629,19 +1647,24 @@ def start_funnel_stream_job(
     )
     delay_s = int(parse_duration_seconds(cfg.watermark_delay))
 
+    sentinel = F.lit("1970-01-01").cast("timestamp")
+
     def batch_writer(df: DataFrame, epoch_id: int) -> None:
         from data_harvesting_spark.streaming.sink import write_epoch
 
         sp = df.sparkSession
-        batch_mins = funnel_stage_mins(df)
+        batch_mins = funnel_stage_mins(df).withColumn("done", F.lit(False))
         prior = _read_hash_ledger(sp, ledger_path, epoch_id)
         if prior is None:
             prior_users, prior_counts = None, (0, 0, 0)
         elif win_s is None:
-            prior_users, prior_counts = prior, (0, 0, 0)
+            prior_users, prior_counts = (
+                prior.select("user_id", *cols, "done"),
+                (0, 0, 0),
+            )
         else:
             prior_users = prior.where(F.col("user_id").isNotNull()).select(
-                "user_id", *cols
+                "user_id", *cols, "done"
             )
             crow = prior.where(F.col("user_id").isNull()).select(*fcols)
             got = crow.collect()
@@ -1650,14 +1673,23 @@ def start_funnel_stream_job(
                 if got
                 else (0, 0, 0)
             )
+        # min-merge the stage mins; a tombstone's done flag survives the
+        # merge (max), so a re-appearing finalized user stays suppressed
         state = (
             batch_mins
             if prior_users is None
-            else merge_stage_mins(prior_users, batch_mins)
+            else prior_users.unionByName(batch_mins)
+            .groupBy("user_id")
+            .agg(
+                *[F.min(c).alias(c) for c in cols],
+                F.max("done").alias("done"),
+            )
         ).persist()
 
         if win_s is None:
             live, counts = state, (0, 0, 0)
+            fin_pred = F.lit(False)
+            dead_pred = F.lit(False)
         else:
             hi = df.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
             horizon = (
@@ -1665,25 +1697,23 @@ def start_funnel_stream_job(
                 - F.make_interval(secs=F.lit(win_s + delay_s))
             )
             dead_horizon = F.lit(hi) - F.make_interval(secs=F.lit(delay_s))
-            finalized = state.where(
-                F.col("t_signup").isNotNull()
+            fin_pred = (
+                (~F.col("done"))
+                & F.col("t_signup").isNotNull()
                 & (F.col("t_signup") < horizon)
             )
-            dead = state.where(
-                F.col("t_signup").isNull()
+            dead_pred = (
+                (~F.col("done"))
+                & F.col("t_signup").isNull()
                 & (
                     F.greatest(
-                        F.coalesce(
-                            "t_view", F.lit("1970-01-01").cast("timestamp")
-                        ),
-                        F.coalesce(
-                            "t_purchase",
-                            F.lit("1970-01-01").cast("timestamp"),
-                        ),
+                        F.coalesce(F.col("t_view"), sentinel),
+                        F.coalesce(F.col("t_purchase"), sentinel),
                     )
                     < dead_horizon
                 )
             )
+            finalized = state.where(fin_pred)
             frow = (
                 funnel_outcomes(finalized, win_s)
                 .agg(
@@ -1698,8 +1728,9 @@ def start_funnel_stream_job(
                 prior_counts[1] + frow["v"],
                 prior_counts[2] + frow["p"],
             )
-            gone = finalized.select("user_id").union(dead.select("user_id"))
-            live = state.join(gone, "user_id", "left_anti").persist()
+            # live = not already counted (done) and not counted this epoch.
+            # Dead-poisoned rows may stay in: null t_signup contributes 0.
+            live = state.where((~F.col("done")) & (~fin_pred)).persist()
 
         live_counts = (
             funnel_outcomes(live, win_s)
@@ -1734,17 +1765,41 @@ def start_funnel_stream_job(
             ).alias("conv_purchase"),
         )
         write_epoch(report, epoch_id, sink_path)
-        snapshot = live.select("user_id", *cols)
+        # snapshot compression: finalized (and prior done) rows → done
+        # tombstones with nulled timestamps; watermark-dead rows → keep,
+        # but collapse their non-null stage mins to the sentinel (any
+        # future signup is newer, so the comparison outcome is identical)
+        tomb = fin_pred | F.col("done")
+        snapshot = state.select(
+            "user_id",
+            F.when(tomb, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("t_signup"))
+            .alias("t_signup"),
+            *[
+                F.when(tomb, F.lit(None).cast("timestamp"))
+                .when(dead_pred & F.col(c).isNotNull(), sentinel)
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in ("t_view", "t_purchase")
+            ],
+            tomb.alias("done"),
+        )
         if win_s is not None:
             counter_row = sp.createDataFrame(
-                [(None, None, None, None, counts[0], counts[1], counts[2])],
+                [
+                    (
+                        None, None, None, None, True,
+                        counts[0], counts[1], counts[2],
+                    )
+                ],
                 "user_id long, t_signup timestamp, t_view timestamp, "
-                "t_purchase timestamp, f_signup long, f_view long, "
-                "f_purchase long",
+                "t_purchase timestamp, done boolean, f_signup long, "
+                "f_view long, f_purchase long",
             )
             snapshot = snapshot.select(
                 "user_id",
                 *cols,
+                "done",
                 *[F.lit(None).cast("long").alias(c) for c in fcols],
             ).unionByName(counter_row)
         snapshot.coalesce(4).write.mode("overwrite").parquet(

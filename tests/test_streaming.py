@@ -2755,12 +2755,17 @@ def test_funnel_stream_attribution_window_finalizes_exactly(
     ) == (want["n_signup"], want["n_signup_view"],
           want["n_signup_view_purchase"]) == (4, 3, 1)
 
-    # ledger: only the still-live user (u4) plus the counter row remain
+    # ledger: only u4 stays LIVE; finalized users compress to done
+    # tombstones (timestamps nulled) next to the counter row
     led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".funnel")
     pdf = led.toPandas()
     users = pdf[pdf["user_id"].notna()]
     counter = pdf[pdf["user_id"].isna()]
-    assert set(users["user_id"]) == {4}
+    live_users = users[~users["done"]]
+    tombs = users[users["done"]]
+    assert set(live_users["user_id"]) == {4}
+    assert set(tombs["user_id"]) == {1, 2, 3}
+    assert tombs[["t_signup", "t_view", "t_purchase"]].isna().all().all()
     assert len(counter) == 1
     assert (
         int(counter["f_signup"].iloc[0]),
@@ -2812,3 +2817,163 @@ def test_funnel_stream_attribution_window_kill_and_resume(
         last["n_signup_view"],
         last["n_signup_view_purchase"],
     ) == (4, 3, 1)
+
+@pytest.fixture(scope="module")
+def funnel_dead_resignup_batches(tmp_path_factory):
+    """u1 has a lone pre-signup view, ages past the watermark (dead
+    eviction), THEN signs up and views again inside the attribution
+    window. First-touch batch semantics: u1's view min stays the old
+    pre-signup one, so the view must NOT be credited. u2 is the
+    contrast user (same late signup+view, no poisoned history)."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    files = [
+        [ev(1, 1, "view", 0)],
+        # 20 min later: watermark (10 min) passes u1's view → dead-evicted
+        [ev(2, 9, "view", 1200)],
+        [ev(3, 1, "signup", 1300), ev(4, 1, "view", 1330),
+         ev(5, 2, "signup", 1300), ev(6, 2, "view", 1330)],
+    ]
+    d = tmp_path_factory.mktemp("funnel_dead_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_funnel_signup_after_dead_eviction(
+    spark, funnel_dead_resignup_batches, tmp_path
+):
+    """ADVICE r4 (medium): dead eviction must not forget that a user's
+    first-touch view predates any future signup. The sentinel tombstone
+    denies u1's re-view exactly like the batch min does, while u2 (no
+    history) is credited."""
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
+    )
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_dead_resignup_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, attribution_window="2 minutes",
+    )
+    drain(q)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    src = spark.read.parquet(funnel_dead_resignup_batches + "/*.parquet")
+    want = funnel_report(funnel_stage_mins(src), 120).collect()[0]
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (want["n_signup"], want["n_signup_view"],
+          want["n_signup_view_purchase"]) == (2, 1, 0)
+
+    # the eviction path really ran: u1's ledger row carries the sentinel
+    # (its view min collapsed at eviction, then re-min-merged)
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".funnel")
+    pdf = led.toPandas()
+    u1 = pdf[pdf["user_id"] == 1].iloc[0]
+    assert u1["t_view"] == pd.Timestamp("1970-01-01")
+    assert not u1["done"]
+
+
+@pytest.fixture(scope="module")
+def funnel_resignup_after_final_batches(tmp_path_factory):
+    """u1 completes signup→view inside the window, finalizes into the
+    counter row, then signs up AGAIN with a fresh view. Batch first-touch
+    keeps the original signup, so u1 must be counted exactly once."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    files = [
+        [ev(1, 1, "signup", 0), ev(2, 1, "view", 30)],
+        # 20 min later: u1 passes signup + window + watermark → finalized
+        [ev(3, 9, "view", 1200)],
+        [ev(4, 1, "signup", 1300), ev(5, 1, "view", 1330)],
+    ]
+    d = tmp_path_factory.mktemp("funnel_refinal_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_funnel_resignup_after_finalization_counts_once(
+    spark, funnel_resignup_after_final_batches, tmp_path
+):
+    """ADVICE r4 (medium): a second signup for an already-finalized user
+    must not re-create a countable ledger row — the done tombstone
+    suppresses re-entry, so the cumulative report matches batch (u1
+    counted once, in the counter cells)."""
+    from data_harvesting_spark.operators.funnel import (
+        funnel_report,
+        funnel_stage_mins,
+    )
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_funnel_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_funnel_stream_job(
+        spark, funnel_resignup_after_final_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, attribution_window="2 minutes",
+    )
+    drain(q)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    src = spark.read.parquet(
+        funnel_resignup_after_final_batches + "/*.parquet"
+    )
+    want = funnel_report(funnel_stage_mins(src), 120).collect()[0]
+    last = rows.iloc[-1]
+    assert (
+        last["n_signup"],
+        last["n_signup_view"],
+        last["n_signup_view_purchase"],
+    ) == (want["n_signup"], want["n_signup_view"],
+          want["n_signup_view_purchase"]) == (1, 1, 0)
+
+    # u1's truth lives in the counter row; its ledger row is a done
+    # tombstone that absorbed the re-entry
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".funnel")
+    pdf = led.toPandas()
+    counter = pdf[pdf["user_id"].isna()]
+    assert (
+        int(counter["f_signup"].iloc[0]),
+        int(counter["f_view"].iloc[0]),
+    ) == (1, 1)
+    u1 = pdf[pdf["user_id"] == 1].iloc[0]
+    assert bool(u1["done"])
