@@ -1057,6 +1057,33 @@ def test_driver_window_covers_anchors():
     )
 
 
+def test_tail_queries_unchanged():
+    """Round-4 ADVICE: nothing used to enforce the rotation premise that
+    tail-listed queries are untouched since their last green driver row.
+    Now it is enforced — each tail query's (builder source + oracle SQL)
+    digest must equal the pinned copy. On a deliberate edit: move the
+    query into _WINDOW_FRONT (so the driver re-checks it) or re-pin via
+    `python scripts/pin_tail_digests.py` alongside a green full-catalog
+    sweep (tests/test_oracle_full.py)."""
+    import json
+    from pathlib import Path
+
+    from data_harvesting_spark.plans import catalog
+
+    pinned = json.loads(
+        (Path(catalog.__file__).parent / "tail_digests.json").read_text()
+    )
+    current = catalog.tail_digests()
+    assert set(current) == set(pinned), (
+        "tail membership changed — run scripts/pin_tail_digests.py"
+    )
+    drifted = [n for n, d in current.items() if pinned[n] != d]
+    assert not drifted, (
+        f"tail queries edited without re-entering the driver window: "
+        f"{drifted} — rotate them into _WINDOW_FRONT or re-pin"
+    )
+
+
 def test_workflow_similarity_banded_recall(spark):
     """The banded scale path (MinHash over signature elements, exact
     verification of band-collision candidates only) against the exact
