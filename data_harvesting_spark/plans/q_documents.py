@@ -1796,8 +1796,11 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 anchors AS (
+  -- derived anchor budget (k scales with corpus, Abbas et al. 2023):
+  -- n_anchors = ceil(n / 64), anchors = that many ids on the %37 grid
   SELECT vec_id AS aid, v AS av FROM e
-  WHERE vec_id % 37 = 0 AND vec_id < 2368
+  WHERE vec_id % 37 = 0
+    AND vec_id < 37 * CAST(ceil((SELECT COUNT(*) FROM e) / 64.0) AS BIGINT)
 ),
 assigned AS (
   SELECT vec_id, v, aid AS cell FROM (
@@ -1822,8 +1825,10 @@ WHERE d.vec_id IS NULL
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embedding table: nearest-
     anchor cells (deterministic data-anchor quantizer — the oracle
-    reproduces it exactly), within-cell pairwise cosine, drop any vector
-    with a smaller-id cell-mate ≥ 0.45. Output = kept (vec_id, cell)."""
+    reproduces it exactly, INCLUDING the corpus-derived anchor budget
+    n_anchors = ceil(n/64)), within-cell pairwise cosine, drop any
+    vector with a smaller-id cell-mate ≥ 0.45. Output = kept
+    (vec_id, cell)."""
     from data_harvesting_spark.operators.similarity import (
         semantic_dedup_anchors,
     )

@@ -1788,3 +1788,64 @@ def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
     # values survive the layout round-trip
     want = src.where(F.col("lang") == pick).count()
     assert scan.count() == want
+
+
+def _skewed_embeddings(spark, n: int, d: int = 8):
+    """Deterministic corpus with a heavy semantic hotspot: 80% of ids
+    (id % 5 != 0) cluster tightly around one direction; the rest are
+    spread. Anchors are id-residue data rows, so the hotspot attracts
+    ~80% of the anchors too — the SemDeDup property under test."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    u = np.ones(d) / np.sqrt(d)
+    rows = []
+    for i in range(n):
+        jitter = rng.randn(d)
+        if i % 5 != 0:
+            v = u + 0.05 * jitter
+        else:
+            v = jitter
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_cells_stay_bounded_under_skew(spark):
+    """Round-4 verdict item #2: the anchor budget must scale with the
+    corpus (Abbas et al. 2023's k-scales-with-corpus property). With the
+    derived budget, the max cell population stays O(target_cell_size)
+    at BOTH corpus sizes even though 80% of vectors share one semantic
+    hotspot; a frozen 8-anchor budget on the same data produces cells
+    several times hotter."""
+    from data_harvesting_spark.operators.similarity import (
+        semantic_dedup_anchors,
+    )
+
+    max_cells = {}
+    for n in (1024, 4096):
+        emb = _skewed_embeddings(spark, n)
+        # threshold > 1 keeps every vector: output = full cell assignment
+        cells = semantic_dedup_anchors(emb, threshold=2.0)
+        pdf = cells.groupBy("cell").count().toPandas()
+        assert int(pdf["count"].sum()) == n
+        max_cells[n] = int(pdf["count"].max())
+        # derived budget: ceil(n/64) anchors, most land inside the
+        # hotspot because anchors ARE corpus rows — cells stay bounded
+        assert max_cells[n] <= 4 * 64, (n, max_cells[n])
+        assert len(pdf) >= (n // 64) // 2, "anchor budget did not scale"
+
+    # quadruple the corpus → max cell must NOT grow ~4x (the fixed-budget
+    # failure mode); allow 2x for jitter
+    assert max_cells[4096] <= 2 * max_cells[1024], max_cells
+
+    # contrast: freeze the budget at 8 anchors on the large corpus — the
+    # hotspot concentrates into a few cells and the quadratic explodes
+    frozen = semantic_dedup_anchors(
+        _skewed_embeddings(spark, 4096), threshold=2.0,
+        max_anchor_id=37 * 8,
+    )
+    frozen_max = int(frozen.groupBy("cell").count().toPandas()["count"].max())
+    assert frozen_max > 2 * max_cells[4096], (frozen_max, max_cells)
