@@ -175,3 +175,63 @@ def blocklist_hits(col: Column | str, words: list[str] | None = None) -> Column:
         hit = _occurrences(padded, f" {w} ")
         total = hit if total is None else total + hit
     return total.cast("bigint")
+
+
+# Above this size the expression form's one-term-per-word replace/length
+# chain costs more than it saves: codegen compiles a ~N-deep expression
+# tree per row while the join path is O(words-in-doc) regardless of list
+# size. 32 ≈ where a production C4-style list (~400 entries) is clearly
+# join territory and a demo list clearly is not.
+BLOCKLIST_JOIN_THRESHOLD = 32
+
+
+def blocklist_counts(
+    docs,
+    words: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document blocklist hit counts as a DataFrame: ``docs`` with an
+    appended ``n_blocked`` column (whole-word occurrence counts, same
+    semantics as :func:`blocklist_hits`).
+
+    Physical strategy auto-selects on list size (round-4 verdict item
+    #3): at or below :data:`BLOCKLIST_JOIN_THRESHOLD` words it IS
+    :func:`blocklist_hits` — length arithmetic folded into the scan,
+    zero shuffle, zero join (also the oracle-expressible mode). Above
+    the threshold (production C4 lists run ~400 entries) it explodes
+    normalized words once and counts via a BROADCAST hash join against
+    the blocklist dimension — the blocklist ships to executors as a
+    hash table instead of a 400-term expression chain, the word stream
+    never shuffles into the join, and only the per-doc count agg keys a
+    shuffle. Docs with zero hits (or no words) keep ``n_blocked = 0``
+    via the join-back. Entries are single words in both modes.
+    """
+    if words is None:
+        words = DEMO_BLOCKLIST
+    if len(words) <= BLOCKLIST_JOIN_THRESHOLD:
+        return docs.withColumn("n_blocked", blocklist_hits(text_col, words))
+    dim = docs.sparkSession.createDataFrame(
+        [(w,) for w in sorted(set(words))], "w string"
+    )
+    tokens = docs.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(normalize_text(text_col), " "), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    hits = (
+        tokens.join(F.broadcast(dim), "w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_blocked"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(
+            "n_blocked",
+            F.coalesce(F.col("_n_blocked"), F.lit(0)).cast("bigint"),
+        )
+        .drop("_n_blocked")
+    )

