@@ -616,6 +616,30 @@ def pq_adc_topk(
     )
 
 
+def _pq_residual_codes_udf(
+    cell_raw: dict, codebooks: np.ndarray, aids: np.ndarray
+):
+    """pandas UDF: per (vector, assigned cell), PQ codes of the RESIDUAL
+    v − centroid(cell) (squared-L2 argmin per subspace, smallest aid on
+    ties). ``cell_raw`` maps cell id → raw centroid vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_codes, n_sub, sub_dim = codebooks.shape
+
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series, cell: pd.Series) -> pd.Series:
+        x = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)))
+        cent = np.stack(cell.map(lambda c: cell_raw[int(c)]))
+        r = (x - cent).reshape(len(x), n_sub, sub_dim)
+        out = []
+        for s in range(n_sub):
+            d = ((r[:, s, None, :] - codebooks[None, :, s, :]) ** 2).sum(-1)
+            out.append(aids[np.argmin(d, axis=1)])
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return codes
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -626,6 +650,7 @@ def ivfpq_topk(
     code_mod: int = 7,
     code_max: int = 7 * 512,
     n_sub: int = 4,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -639,9 +664,21 @@ def ivfpq_topk(
     Both stages reuse their independently oracle-proven deterministic
     quantizers (cosine data-anchor cells = `cosine_topk_ivf_anchors`;
     L2 data-anchor codebooks + round-6 dtable = `pq_adc_topk`), so the
-    composition is itself value-checkable end to end. Residual encoding
-    (PQ over x - centroid) is the published quality upgrade; this is the
-    residual-free variant, divergence documented.
+    composition is itself value-checkable end to end.
+
+    ``residual=True`` (round-4 verdict item #4) is the paper's §IV-A /
+    FAISS encoding: PQ codes the residual v − centroid(cell) instead of
+    v itself. Residuals concentrate near the origin with far less
+    variance than raw vectors, so the same code budget quantizes them
+    finer — the published recall win, measured on a clustered fixture by
+    the recall test. Everything stays deterministic and
+    oracle-expressible: the codebook entries become the residuals OF the
+    code-anchor rows (each w.r.t. its own cell's centroid — the
+    deterministic stand-in for "train PQ on the residual distribution"),
+    and the query builds one distance table PER PROBED CELL from its
+    residual against that cell (dtable size |queries|·nprobe·n_codes·
+    n_sub — still a broadcast constant). A stored code is always decoded
+    against its own cell's table, exactly FAISS's layout.
     """
     # --- cells (cosine data anchors, as the IVF path) ---
     cell_rows = (
@@ -655,8 +692,8 @@ def ivfpq_topk(
     if not cell_rows:
         raise ValueError("no cell anchor rows")
     cell_ids = np.array([r[0] for r in cell_rows], dtype=np.int64)
-    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cell_rows])
-    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    craw = np.stack([np.asarray(r[1], dtype=np.float64) for r in cell_rows])
+    cmat = craw / np.maximum(np.linalg.norm(craw, axis=1, keepdims=True), 1e-12)
 
     # --- PQ codebooks (L2 data anchors, as the PQ path) ---
     code_rows = (
@@ -674,37 +711,103 @@ def ivfpq_topk(
     dim = amat.shape[1]
     assert dim % n_sub == 0
     sub_dim = dim // n_sub
-    codebooks = amat.reshape(len(aids), n_sub, sub_dim)
 
     assign1 = _assign_cells_udf(cmat, 1, cell_ids)
-    codes = _pq_codes_udf(codebooks, aids)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
-        codes(F.col(vec_col)).alias("c"),
-    ).select(
-        "neighbor_id", "cell",
-        *[F.element_at("c", s + 1).alias(f"c{s}") for s in range(n_sub)],
-    )
-
-    probe = _assign_cells_udf(cmat, nprobe, cell_ids)
-    q_probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe(F.col(vec_col))).alias("cell"),
-    )
+    spark = embeddings.sparkSession
+    if residual:
+        # codebook entries = residuals of the code-anchor rows w.r.t.
+        # their own cell centroid (the deterministic stand-in for
+        # training PQ on the residual distribution)
+        an = amat / np.maximum(
+            np.linalg.norm(amat, axis=1, keepdims=True), 1e-12
+        )
+        a_cell = np.argsort(-(an @ cmat.T), axis=1, kind="stable")[:, 0]
+        codebooks = (amat - craw[a_cell]).reshape(len(aids), n_sub, sub_dim)
+        cell_raw = {int(cid): craw[i] for i, cid in enumerate(cell_ids)}
+        codes = _pq_residual_codes_udf(cell_raw, codebooks, aids)
+        corpus = (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_v"),
+                F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            )
+            .select(
+                "neighbor_id", "cell",
+                codes(F.col("_v"), F.col("cell")).alias("c"),
+            )
+            .select(
+                "neighbor_id", "cell",
+                *[
+                    F.element_at("c", s + 1).alias(f"c{s}")
+                    for s in range(n_sub)
+                ],
+            )
+        )
+    else:
+        codebooks = amat.reshape(len(aids), n_sub, sub_dim)
+        codes = _pq_codes_udf(codebooks, aids)
+        corpus = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            codes(F.col(vec_col)).alias("c"),
+        ).select(
+            "neighbor_id", "cell",
+            *[F.element_at("c", s + 1).alias(f"c{s}") for s in range(n_sub)],
+        )
 
     qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    spark = embeddings.sparkSession
-    dtab_rows = []
-    for qr in qrows:
-        q = np.asarray(qr[1], dtype=np.float64).reshape(n_sub, sub_dim)
-        for s in range(n_sub):
-            d = ((codebooks[:, s, :] - q[None, s, :]) ** 2).sum(-1)
-            for aid, dv in zip(aids, d):
-                dtab_rows.append((int(qr[0]), s, int(aid), round(float(dv), 6)))
-    dtab = spark.createDataFrame(
-        dtab_rows, "query_id long, s int, aid long, d double"
-    )
+    if residual:
+        # probe cells AND per-probed-cell residual distance tables are
+        # derived driver-side from the same bounded query collect (the
+        # probe rule replicates _assign_cells_udf: stable argsort of
+        # -cosine, smallest anchor id on ties). Table entries are
+        # quantized to INTEGER micro-units so the ADC sum is exact and
+        # summation-order-free in every engine — float sums of rounded
+        # doubles can still flip a rank-boundary tie by one ulp.
+        import math
+
+        probe_rows, dtab_rows = [], []
+        for qr in qrows:
+            q = np.asarray(qr[1], dtype=np.float64)
+            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            top = np.argsort(-(qn @ cmat.T), kind="stable")[:nprobe]
+            for ci in top:
+                cell = int(cell_ids[ci])
+                probe_rows.append((int(qr[0]), cell))
+                r = (q - craw[ci]).reshape(n_sub, sub_dim)
+                for s in range(n_sub):
+                    d = ((codebooks[:, s, :] - r[None, s, :]) ** 2).sum(-1)
+                    for aid, dv in zip(aids, d):
+                        dtab_rows.append(
+                            (int(qr[0]), cell, s, int(aid),
+                             int(math.floor(float(dv) * 1e6 + 0.5)))
+                        )
+        q_probes = spark.createDataFrame(
+            probe_rows, "query_id long, cell long"
+        )
+        dtab = spark.createDataFrame(
+            dtab_rows, "query_id long, cell long, s int, aid long, d long"
+        )
+        join_keys = ["query_id", "cell"]
+    else:
+        probe = _assign_cells_udf(cmat, nprobe, cell_ids)
+        q_probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe(F.col(vec_col))).alias("cell"),
+        )
+        dtab_rows = []
+        for qr in qrows:
+            q = np.asarray(qr[1], dtype=np.float64).reshape(n_sub, sub_dim)
+            for s in range(n_sub):
+                d = ((codebooks[:, s, :] - q[None, s, :]) ** 2).sum(-1)
+                for aid, dv in zip(aids, d):
+                    dtab_rows.append(
+                        (int(qr[0]), s, int(aid), round(float(dv), 6))
+                    )
+        dtab = spark.createDataFrame(
+            dtab_rows, "query_id long, s int, aid long, d double"
+        )
+        join_keys = ["query_id"]
 
     cand = corpus.join(F.broadcast(q_probes.distinct()), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -713,20 +816,24 @@ def ivfpq_topk(
     for s in range(n_sub):
         ds = (
             dtab.where(F.col("s") == s)
-            .select("query_id", F.col("aid").alias(f"c{s}"),
+            .select(*join_keys, F.col("aid").alias(f"c{s}"),
                     F.col("d").alias(f"d{s}"))
         )
-        scored = scored.join(F.broadcast(ds), ["query_id", f"c{s}"])
+        scored = scored.join(F.broadcast(ds), [*join_keys, f"c{s}"])
     adist = sum(F.col(f"d{s}") for s in range(n_sub))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
     )
+    out_adist = (
+        F.round(F.col("adist") / F.lit(1e6), 6)
+        if residual  # integer micro-unit sum → report in distance units
+        else F.round("adist", 6)
+    )
     return (
         scored.withColumn("adist", adist)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("adist", 6).alias("adist"))
+        .select("query_id", "neighbor_id", "rank", out_adist.alias("adist"))
     )

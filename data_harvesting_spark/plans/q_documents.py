@@ -1863,14 +1863,18 @@ def q_doc_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing blocklisted words): whole-word occurrence counts via
     length arithmetic over the broadcast-constant list — folded into the
     scan, zero shuffle, zero Python. ``flagged`` is the drop decision;
-    the count supports threshold variants. List injectable
-    (`functions/text.py::blocklist_hits`), demo list pinned."""
-    from data_harvesting_spark.functions.text import blocklist_hits
+    the count supports threshold variants. List injectable; above
+    BLOCKLIST_JOIN_THRESHOLD words `blocklist_counts` auto-switches to a
+    broadcast-join plan (parity- and plan-tested); the pinned demo list
+    exercises the expression fast path, which is also the oracle mode."""
+    from data_harvesting_spark.functions.text import blocklist_counts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = blocklist_hits("text")
-    return docs.select(
-        "doc_id", "lang", n.alias("n_blocked"), (n > 0).alias("flagged")
+    return blocklist_counts(docs).select(
+        "doc_id",
+        "lang",
+        "n_blocked",
+        (F.col("n_blocked") > 0).alias("flagged"),
     )
 
 
@@ -1986,6 +1990,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- IVF-PQ ANN
+# Residual encoding (round-5): codes quantize v − centroid(cell), codebook
+# entries are the residuals OF the code-anchor rows, and each query builds
+# one distance table per probed cell from its residual against that cell —
+# Jégou et al. 2011 §IV-A / FAISS's IVFPQ layout, fully reproduced in SQL.
 _IVFPQ_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2012,14 +2020,28 @@ code_anchors AS (
   SELECT vec_id AS aid, v AS av FROM e
   WHERE vec_id % 7 = 0 AND vec_id < 3584
 ),
+code_res AS (
+  SELECT c.aid,
+         list_transform(list_zip(c.av, ca.av), z -> z[1] - z[2]) AS av
+  FROM code_anchors c
+  JOIN assigned s2 ON s2.vec_id = c.aid
+  JOIN cell_anchors ca ON ca.aid = s2.cell
+),
+res AS (
+  SELECT e.vec_id, s2.cell,
+         list_transform(list_zip(e.v, ca.av), z -> z[1] - z[2]) AS rv
+  FROM e
+  JOIN assigned s2 ON s2.vec_id = e.vec_id
+  JOIN cell_anchors ca ON ca.aid = s2.cell
+),
 subspaces AS (SELECT s FROM (VALUES (0), (1), (2), (3)) t(s)),
 dists AS (
-  SELECT e.vec_id, a.aid, sub.s,
+  SELECT r.vec_id, a.aid, sub.s,
          list_sum(list_transform(
-           list_zip(e.v[sub.s*16+1 : sub.s*16+16],
+           list_zip(r.rv[sub.s*16+1 : sub.s*16+16],
                     a.av[sub.s*16+1 : sub.s*16+16]),
            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
-  FROM e CROSS JOIN code_anchors a CROSS JOIN subspaces sub
+  FROM res r CROSS JOIN code_res a CROSS JOIN subspaces sub
 ),
 codes AS (
   SELECT vec_id AS neighbor_id, s, aid AS code FROM (
@@ -2028,23 +2050,39 @@ codes AS (
                               ORDER BY d ASC, aid ASC) AS rn
     FROM dists) t WHERE rn = 1
 ),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(e.v, ca.av), z -> z[1] - z[2]) AS rv
+  FROM probes p
+  JOIN e ON e.vec_id = p.query_id
+  JOIN cell_anchors ca ON ca.aid = p.cell
+),
 dtab AS (
-  SELECT vec_id AS query_id, s, aid, round(d, 6) AS d
-  FROM dists WHERE vec_id % 50 = 0
+  -- integer micro-units: the ADC sum is exact and summation-order-free
+  -- in both engines (a float sum of rounded doubles can flip a
+  -- rank-boundary tie by one ulp)
+  SELECT q.query_id, q.cell, sub.s, a.aid,
+         CAST(floor(list_sum(list_transform(
+           list_zip(q.rv[sub.s*16+1 : sub.s*16+16],
+                    a.av[sub.s*16+1 : sub.s*16+16]),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) * 1e6 + 0.5) AS BIGINT) AS d
+  FROM qres q CROSS JOIN code_res a CROSS JOIN subspaces sub
 ),
 cand AS (
-  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, a.cell
   FROM probes p JOIN assigned a ON p.cell = a.cell
   WHERE a.vec_id <> p.query_id
 ),
 adc AS (
-  SELECT c.query_id, c.neighbor_id, sum(t.d) AS adist
+  SELECT c.query_id, c.neighbor_id, CAST(sum(t.d) AS BIGINT) AS adist
   FROM cand c
   JOIN codes k ON k.neighbor_id = c.neighbor_id
-  JOIN dtab t ON t.query_id = c.query_id AND t.s = k.s AND t.aid = k.code
+  JOIN dtab t ON t.query_id = c.query_id AND t.cell = c.cell
+             AND t.s = k.s AND t.aid = k.code
   GROUP BY c.query_id, c.neighbor_id
 )
-SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+SELECT query_id, neighbor_id, rank,
+       round(adist / 1000000.0, 6) AS adist FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank
   FROM adc) t
@@ -2056,14 +2094,17 @@ WHERE rank <= 5
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS's billion-scale default): IVF cells prune candidates
     (cosine data anchors, as `ann_ivf_topk`), PQ-ADC ranks them from
-    compressed codes (L2 data-anchor codebooks + round-6 dtable, as
-    `ann_pq_topk`) — the composition every 100 TB vector index runs,
-    value-checked end to end."""
+    compressed codes — now with RESIDUAL encoding (Jégou et al. 2011
+    §IV-A): codes quantize v − centroid(cell), distance tables are built
+    per probed cell from the query's residual, a stored code always
+    decodes against its own cell's table. Value-checked end to end,
+    recall measured above the residual-free variant on a clustered
+    fixture (`test_ivfpq_residual_recall`)."""
     from data_harvesting_spark.operators.similarity import ivfpq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivfpq_topk(emb, queries, k=5, nprobe=4)
+    return ivfpq_topk(emb, queries, k=5, nprobe=4, residual=True)
 
 
 # ------------------------------------------------------- PCA power iteration
