@@ -1358,12 +1358,17 @@ def start_sketch_stream_job(
     Heavy hitters are the classic CMS+heap composition: a CMS alone
     cannot enumerate keys, so the ledger carries a bounded CANDIDATE set
     — each epoch's local top-``cand_m`` terms union the surviving
-    candidates, every candidate re-probed against the cumulative sketch,
-    top-``top_n`` kept. A term is tracked from the first epoch it is
-    locally heavy in (the standard guarantee of this composition); the
-    stream==batch test pins exact agreement on a skew-clear corpus.
+    candidates, every candidate re-probed against the cumulative sketch.
+    The ledger persists the best ``cand_m`` SURVIVORS (the full
+    candidate heap, not just the reported ``top_n`` — round-4 ADVICE:
+    reporting-only persistence would mean a term that is cumulatively
+    heavy but never simultaneously in an epoch's local top or the prior
+    report could never enter the tracked set). A term is tracked from
+    the first epoch it is locally heavy in (the standard guarantee of
+    this composition); the stream==batch test pins exact agreement on a
+    skew-clear corpus.
 
-    State is O(sketch) — ``depth×width + HLL_M + top_n`` rows,
+    State is O(sketch) — ``depth×width + HLL_M + cand_m`` rows,
     independent of stream length — and NEVER evicts: unlike the
     dedup/boilerplate ledgers there is no per-key state to bound, that
     is the entire point of sketching the stream instead of keying it.
@@ -1464,12 +1469,19 @@ def start_sketch_stream_job(
                 F.col("c").alias("col"),
                 F.col("v").alias("cnt"),
             )
-            top = (
+            # estimate once over the whole candidate set; the ledger
+            # persists the cand_m best SURVIVORS (not just the reported
+            # top_n) — the standard CMS+heap composition keeps the full
+            # candidate heap, else a term that is cumulatively heavy but
+            # never simultaneously in an epoch's local top or the prior
+            # top_n could never enter the tracked set (round-4 ADVICE)
+            est = (
                 cms_estimate(cum_cells, cand, depth=depth, width=width)
                 .orderBy(F.desc("cms_cnt"), "term")
-                .limit(top_n)
+                .limit(cand_m)
                 .persist()
             )
+            top = est.orderBy(F.desc("cms_cnt"), "term").limit(top_n)
 
             hll_sum = snapshot.where(F.col("kind") == "hll").agg(
                 F.count(F.lit(1)).cast("bigint").alias("registers_used"),
@@ -1521,7 +1533,7 @@ def start_sketch_stream_job(
                 )
             )
             write_epoch(report, epoch_id, sink_path)
-            cand_rows = top.select(
+            cand_rows = est.select(
                 F.lit("cand").alias("kind"),
                 F.lit(0).alias("r"),
                 F.lit(0).cast("long").alias("c"),
@@ -1534,7 +1546,7 @@ def start_sketch_stream_job(
                 "overwrite"
             ).parquet(os.path.join(ledger_path, f"_epoch={epoch_id}"))
             snapshot.unpersist()
-            top.unpersist()
+            est.unpersist()
             _prune_cap_ledger(ledger_path, epoch_id)
         finally:
             words.unpersist()

@@ -2977,3 +2977,59 @@ def test_funnel_resignup_after_finalization_counts_once(
     ) == (1, 1)
     u1 = pdf[pdf["user_id"] == 1].iloc[0]
     assert bool(u1["done"])
+
+
+@pytest.fixture(scope="module")
+def sketch_slowburn_batches(tmp_path_factory):
+    """'z' is never an epoch's local #1 but is the CUMULATIVE heavy
+    hitter (7 vs a=6, b=5, c=5). With cand_m=2 it enters epoch 0's
+    candidate set, drops out of epoch 1's local top-2, and can only win
+    the final report if the ledger persisted the full candidate heap
+    rather than just the reported top_n (round-4 ADVICE)."""
+    import time as _time
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    files = [
+        [("s1", 0, "user", "a a a a a a z z z z", None, base)],
+        [("s2", 0, "user", "b b b b b c c c c c z z z", None,
+          base + pd.Timedelta(minutes=1))],
+    ]
+    d = tmp_path_factory.mktemp("sketch_slow_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_sketch_ledger_keeps_full_candidate_heap(
+    spark, sketch_slowburn_batches, tmp_path
+):
+    """A cumulatively-heavy term that never tops a single epoch must
+    still win the final report: the ledger persists all cand_m
+    surviving candidates, so 'z' (tracked since epoch 0's local top-2)
+    survives epoch 1 — where only {b, c} are locally top-2 — and the
+    cumulative re-probe crowns it."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sketch_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sketch_stream_job(
+        spark, sketch_slowburn_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False, top_n=1, cand_m=2,
+    )
+    drain(q)
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    assert list(rows.iloc[0]["top_terms"]) == ["a"]   # z not yet heavy
+    assert list(rows.iloc[-1]["top_terms"]) == ["z"]  # cumulative winner
