@@ -159,13 +159,11 @@ def minhash_signatures(
     )
 
 
-def minhash_bands(
-    documents: DataFrame, n: int = 3, hash_mode: str = "xxhash64"
-) -> DataFrame:
-    """(doc_id, band, band_sig) — the LSH banding of the MinHash signature
-    (BANDS bands × N_HASHES/BANDS rows). Shared by the pair finder and the
-    bucket-representative dedup."""
-    sig = minhash_signatures(documents, n, hash_mode)
+def bands_of_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from a (doc_id, sig) signature table —
+    the banding step alone, reusable over PERSISTED signatures (the
+    incremental/streaming components index never re-reads document
+    text)."""
     r = N_HASHES // BANDS
     return sig.select(
         "doc_id",
@@ -176,6 +174,69 @@ def minhash_bands(
                 for band in range(BANDS)
             ])
         ).alias("band", "band_sig"),
+    )
+
+
+def minhash_bands(
+    documents: DataFrame, n: int = 3, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, band, band_sig) — the LSH banding of the MinHash signature
+    (BANDS bands × N_HASHES/BANDS rows). Shared by the pair finder and the
+    bucket-representative dedup."""
+    return bands_of_signatures(minhash_signatures(documents, n, hash_mode))
+
+
+def minhash_sig_pairs(
+    sig: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b) decided ENTIRELY from minhash
+    signatures: band-bucket candidates, then signature-estimated Jaccard
+    (fraction of agreeing minhash positions) ≥ ``threshold``.
+
+    This is the edge rule the incremental/streaming duplicate-cluster
+    maintenance uses: unlike exact-shingle verification it needs only
+    the bounded-width signature index — no re-read of document text for
+    corpus-side candidates — and it is deterministic and order-free, so
+    the stream over any epoch split equals the batch over the union.
+    """
+    bands = bands_of_signatures(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return sig_verify_pairs(cand, sig, threshold)
+
+
+def sig_verify_pairs(
+    cand: DataFrame, sig: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Filter candidate (doc_a, doc_b) pairs by signature-estimated
+    Jaccard ≥ ``threshold`` (fraction of agreeing minhash positions).
+    Shared verify stage of `minhash_sig_pairs` and the streaming
+    incremental-components job (which generates delta candidates
+    itself)."""
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(N_HASHES)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", agree)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 
 

@@ -1830,3 +1830,208 @@ def start_funnel_stream_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File micro-batch source over document parquet slices — the corpus
+    ingest input (documents-table shape), same replay contract as
+    ``read_transcript_stream``."""
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def start_components_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+):
+    """Incremental duplicate-cluster maintenance over a growing corpus
+    (round-4 verdict item #5): the streaming counterpart of the batch
+    ``dedup_components`` closure, in the reference's infinite-ingest
+    shape (`/root/reference/queue_harvesting.py:30-68`).
+
+    Edge rule: MinHash band-bucket candidates verified by
+    signature-estimated Jaccard ≥ ``threshold``
+    (`operators/dedup.py::minhash_sig_pairs`) — decided entirely from
+    the bounded-width signature index, so corpus-side candidates never
+    re-read document text.
+
+    Incremental merge (union-find over epoch deltas): per epoch,
+      1. sign the new documents; candidates = new×new plus new×index
+         band collisions — over all epochs this is EXACTLY the batch
+         candidate set (each pair surfaces when its later member
+         arrives), so the final labels equal the batch closure.
+      2. PROJECT delta edges through the current labels (endpoint →
+         its component root, identity for unlabeled nodes) and run the
+         large/small-star closure on the projected edges only — work
+         O(|delta| + affected roots), never O(corpus).
+      3. compose: every label (and newly-edged node) re-roots through
+         the delta closure's root map. Roots are min-reachable ids, so
+         by induction the composed labels stay the min id of each
+         merged cluster — identical to the one-shot batch labels.
+
+    State: the (doc_id, sig) index — O(corpus) rows × N_HASHES width,
+    the irreducible cost of cross-epoch candidate generation — plus
+    (node, component) for duplicate-involved nodes only. Exactly-once:
+    frozen-pre-state snapshots + idempotent epoch sink, as every
+    sibling job. Each epoch emits (epoch, n_dup_nodes, n_clusters).
+    """
+    from data_harvesting_spark.operators.dedup import (
+        bands_of_signatures,
+        connected_components,
+        minhash_signatures,
+        sig_verify_pairs,
+    )
+
+    ledger_path = sink_path.rstrip("/") + ".components"
+    stream = read_document_stream(spark, source_dir)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        sp = df.sparkSession
+        new_sigs = minhash_signatures(df, n, hash_mode).persist()
+        prior = _read_hash_ledger(sp, ledger_path, epoch_id)
+        if prior is None:
+            prior_sigs, prior_labs = None, None
+        else:
+            prior_sigs = prior.where(F.col("kind") == "sig").select(
+                "doc_id", "sig"
+            )
+            prior_labs = prior.where(F.col("kind") == "lab").select(
+                F.col("doc_id").alias("node"),
+                F.col("component"),
+            )
+
+        nb = bands_of_signatures(new_sigs)
+        a, b = nb.alias("a"), nb.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        )
+        if prior_sigs is not None:
+            pb = bands_of_signatures(prior_sigs)
+            cross = (
+                nb.alias("a")
+                .join(
+                    pb.alias("p"),
+                    (F.col("a.band") == F.col("p.band"))
+                    & (F.col("a.band_sig") == F.col("p.band_sig"))
+                    & (F.col("a.doc_id") != F.col("p.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "p.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "p.doc_id").alias("doc_b"),
+                )
+            )
+            cand = cand.unionByName(cross)
+            all_sigs = prior_sigs.unionByName(new_sigs)
+        else:
+            all_sigs = new_sigs
+        edges = sig_verify_pairs(cand.distinct(), all_sigs, threshold).select(
+            "doc_a", "doc_b"
+        ).persist()
+
+        labs = (
+            prior_labs
+            if prior_labs is not None
+            else sp.createDataFrame([], "node bigint, component bigint")
+        )
+        # project delta edges through current labels (root or identity)
+        la = labs.select(F.col("node").alias("doc_a"),
+                         F.col("component").alias("_ca"))
+        lb = labs.select(F.col("node").alias("doc_b"),
+                         F.col("component").alias("_cb"))
+        projected = (
+            edges.join(la, "doc_a", "left")
+            .join(lb, "doc_b", "left")
+            .select(
+                F.coalesce("_ca", "doc_a").alias("doc_a"),
+                F.coalesce("_cb", "doc_b").alias("doc_b"),
+            )
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        if projected.isEmpty():
+            upd = labs
+        else:
+            cc = connected_components(projected)  # (node=old root, component)
+            nodes = (
+                labs.select("node")
+                .unionByName(edges.select(F.col("doc_a").alias("node")))
+                .unionByName(edges.select(F.col("doc_b").alias("node")))
+                .distinct()
+            )
+            base = (
+                nodes.join(labs, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", "node").alias("_c0"),
+                )
+            )
+            upd = (
+                base.join(
+                    cc.withColumnRenamed("node", "_c0"), "_c0", "left"
+                )
+                .select(
+                    "node", F.coalesce("component", "_c0").alias("component")
+                )
+            )
+        upd = upd.persist()
+
+        report = upd.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_nodes"),
+            F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        ).select(
+            F.lit(epoch_id).cast("long").alias("epoch"),
+            "n_dup_nodes",
+            "n_clusters",
+        )
+        write_epoch(report, epoch_id, sink_path)
+
+        sig_rows = all_sigs.select(
+            F.lit("sig").alias("kind"),
+            "doc_id",
+            "sig",
+            F.lit(None).cast("bigint").alias("component"),
+        )
+        lab_rows = upd.select(
+            F.lit("lab").alias("kind"),
+            F.col("node").alias("doc_id"),
+            F.lit(None).cast("array<bigint>").alias("sig"),
+            "component",
+        )
+        sig_rows.unionByName(lab_rows).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ledger_path, f"_epoch={epoch_id}"))
+        upd.unpersist()
+        edges.unpersist()
+        new_sigs.unpersist()
+        _prune_cap_ledger(ledger_path, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3033,3 +3033,155 @@ def test_sketch_ledger_keeps_full_candidate_heap(
     )
     assert list(rows.iloc[0]["top_terms"]) == ["a"]   # z not yet heavy
     assert list(rows.iloc[-1]["top_terms"]) == ["z"]  # cumulative winner
+
+
+# ------------------------------------------------- incremental components
+_LONG_A = ("the quick brown fox jumps over the lazy dog while seven "
+           "wizards brew strong potions under a pale winter moon near "
+           "the old stone bridge by the river bend")
+_LONG_B = ("distributed query engines shuffle partitioned data across "
+           "executor nodes while adaptive planners rewrite joins at "
+           "runtime to exploit broadcast opportunities and skew hints")
+_CHAIN_1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega aleph bet gimel dalet he vav zayin het tet yod "
+            "kaf lamed mem nun samekh ayin pe tsadi qof resh shin tav")
+_CHAIN_2 = _CHAIN_1.replace("kappa", "kappa2")
+_CHAIN_3 = _CHAIN_2.replace("sigma", "sigma2")
+
+
+@pytest.fixture(scope="module")
+def components_batches(tmp_path_factory):
+    """Planted duplicate clusters SPLIT ACROSS EPOCHS: {1,101,201} share
+    one text arriving in three different epochs, {2,102} in two, and
+    {3,103,203} form a CHAIN (each adjacent pair near-dup) whose merge
+    requires re-rooting a prior epoch's component. 4/104/204 are
+    singleton noise."""
+    import time as _time
+
+    files = [
+        [(1, _LONG_A), (2, _LONG_B), (3, _CHAIN_1),
+         (4, "one unique short document about nothing in particular at all")],
+        [(101, _LONG_A), (103, _CHAIN_2),
+         (104, "another singleton text with its own words entirely here")],
+        [(201, _LONG_A), (102, _LONG_B), (203, _CHAIN_3),
+         (204, "final noise row speaking of completely different topics")],
+    ]
+    d = tmp_path_factory.mktemp("components_src")
+    now = _time.time()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["lang"] = "en"
+        pdf["source"] = "fixture"
+        pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+        p = str(d / f"f{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_components(spark, source_dir):
+    from data_harvesting_spark.operators.dedup import (
+        connected_components,
+        minhash_sig_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(source_dir + "/*.parquet")
+    sig = minhash_signatures(docs)
+    return connected_components(minhash_sig_pairs(sig, 0.5))
+
+
+def test_components_stream_equals_batch_closure(
+    spark, components_batches, tmp_path
+):
+    """Round-4 verdict item #5: the final incremental labels equal the
+    one-shot batch closure over the union of all epochs — including the
+    chain cluster whose root must be re-rooted when a later epoch's
+    edge arrives — and the per-epoch report tracks cluster growth."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_components_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_components_stream_job(
+        spark, components_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q)
+
+    want = _batch_components(spark, components_batches).toPandas()
+    wset = set(map(tuple, want[["node", "component"]].values))
+    # the fixture's planted structure really is three clusters
+    assert wset == {
+        (1, 1), (101, 1), (201, 1),
+        (2, 2), (102, 2),
+        (3, 3), (103, 3), (203, 3),
+    }
+
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".components")
+    labs = led.where("kind = 'lab'").toPandas()
+    gset = set(
+        (int(r.doc_id), int(r.component)) for r in labs.itertuples()
+    )
+    assert gset == wset
+
+    rows = (
+        read_epoch_sink(spark, cfg.sink_path).toPandas()
+        .sort_values("epoch").reset_index(drop=True)
+    )
+    last = rows.iloc[-1]
+    assert (int(last["n_dup_nodes"]), int(last["n_clusters"])) == (8, 3)
+    # epoch 0 has no cross-epoch duplicates yet
+    assert int(rows.iloc[0]["n_dup_nodes"]) == 0
+
+
+def test_components_stream_kill_and_resume(
+    spark, components_batches, tmp_path
+):
+    """W7 for the components job: killing mid-stream and resuming from
+    the checkpoint replays onto frozen prior snapshots — final labels
+    and counts are identical to the uninterrupted run."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_components_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_components_stream_job(
+        spark, components_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_components_stream_job(
+        spark, components_batches, cfg,
+        sink_path=cfg.sink_path, checkpoint_dir=cfg.checkpoint_dir,
+        available_now=False,
+    )
+    drain(q2)
+
+    want = _batch_components(spark, components_batches).toPandas()
+    wset = set(map(tuple, want[["node", "component"]].values))
+    led = _latest_ledger(spark, cfg.sink_path.rstrip("/") + ".components")
+    labs = led.where("kind = 'lab'").toPandas()
+    gset = set(
+        (int(r.doc_id), int(r.component)) for r in labs.itertuples()
+    )
+    assert gset == wset
+    rows = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    last = rows.sort_values("epoch").iloc[-1]
+    assert (int(last["n_dup_nodes"]), int(last["n_clusters"])) == (8, 3)
