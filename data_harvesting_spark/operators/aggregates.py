@@ -119,12 +119,33 @@ def run_report(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def sft_pairs_frame(transcripts: DataFrame, context_turns: int = 3) -> DataFrame:
+def _ws_tokens(c) -> F.Column:
+    """Whitespace token count of a text column — the same counting rule
+    as ``operators/curate.py::context_window_trim`` (0 for empty/null)."""
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def sft_pairs_frame(
+    transcripts: DataFrame,
+    context_turns: int = 3,
+    context_budget: int | None = None,
+) -> DataFrame:
     """SFT context→target extraction on a transcript frame: for every
     non-empty assistant turn, the up-to-``context_turns`` preceding turns
     joined as ``role: text`` lines (the catalog ``sft_pairs`` query and
     the streaming SFT export both delegate here — one definition, two
     execution modes).
+
+    ``context_budget`` applies the ``context_window_trim`` rule to each
+    pair's window before packing (round-4 verdict item #6: trim before
+    pack): keep the longest SUFFIX of (context turns + target) whose
+    whitespace-token total fits the budget — the target always survives,
+    context lines drop oldest-first, and a context turn busting the
+    budget stops the walk. Implemented as one array left-fold over the
+    already-collected frame (no extra shuffle, no Python).
 
     Plan: one framed window over the conv_id exchange (zero extra
     shuffles after the derivation); the collected structs are sorted
@@ -142,12 +163,47 @@ def sft_pairs_frame(transcripts: DataFrame, context_turns: int = 3) -> DataFrame
             F.struct(
                 F.col("turn_idx").alias("ti"),
                 F.concat_ws(": ", "role", "text").alias("line"),
+                F.col("text").alias("txt"),
             )
         ).over(w)
     )
     out = transcripts.select(
         "conv_id", "turn_idx", "role", "text", ctx_arr.alias("ctx_arr")
     )
+    if context_budget is None:
+        context = F.array_join(
+            F.transform("ctx_arr", lambda s: s["line"]), "\n"
+        )
+    else:
+        # suffix walk from the newest context line backwards, seeded with
+        # the target's tokens; stop at the first line that busts the
+        # budget (contiguous-suffix rule, as context_window_trim)
+        acc0 = F.struct(
+            _ws_tokens(F.col("text")).alias("sum"),
+            F.array().cast("array<string>").alias("keep"),
+            F.lit(False).alias("stop"),
+        )
+        folded = F.aggregate(
+            F.reverse("ctx_arr"),
+            acc0,
+            lambda a, s: F.struct(
+                (a["sum"] + _ws_tokens(s["txt"])).alias("sum"),
+                F.when(
+                    (~a["stop"])
+                    & (a["sum"] + _ws_tokens(s["txt"])
+                       <= F.lit(context_budget)),
+                    F.concat(a["keep"], F.array(s["line"])),
+                )
+                .otherwise(a["keep"])
+                .alias("keep"),
+                (
+                    a["stop"]
+                    | (a["sum"] + _ws_tokens(s["txt"])
+                       > F.lit(context_budget))
+                ).alias("stop"),
+            ),
+        )
+        context = F.array_join(F.reverse(folded["keep"]), "\n")
     return (
         out.where(
             (F.col("role") == "assistant")
@@ -157,9 +213,7 @@ def sft_pairs_frame(transcripts: DataFrame, context_turns: int = 3) -> DataFrame
         .select(
             "conv_id",
             "turn_idx",
-            F.array_join(
-                F.transform("ctx_arr", lambda s: s["line"]), "\n"
-            ).alias("context"),
+            context.alias("context"),
             F.col("text").alias("target"),
         )
     )

@@ -833,15 +833,20 @@ def start_sft_export_stream_job(
     cfg: HarvestConfig,
     available_now: bool = True,
     context_turns: int = 3,
+    context_budget: int | None = None,
 ):
     """The batch ``sft_pairs`` export as ONE continuous stream: a
     buffer-then-emit stateful handler (streaming/sft.py) assembles each
     conversation's ordered turns, emits context→target pairs when the
     watermark closes a session, and carries the last ``context_turns``
     emitted turns so context windows cross session closes EXACTLY as the
-    batch frame does. Output flows through the idempotent epoch sink —
-    the handler is deterministic given checkpointed state, so replayed
-    epochs rewrite identical rows (W7; pinned by the kill-resume test).
+    batch frame does. ``context_budget`` applies the
+    ``context_window_trim`` rule per pair before packing (trim before
+    pack — round-4 verdict item #6), with the identical array-fold
+    semantics as the batch ``sft_pairs_frame(context_budget=...)``.
+    Output flows through the idempotent epoch sink — the handler is
+    deterministic given checkpointed state, so replayed epochs rewrite
+    identical rows (W7; pinned by the kill-resume test).
     """
     from data_harvesting_spark.config import validate_config
     from data_harvesting_spark.streaming.sft import sft_stream
@@ -852,7 +857,8 @@ def start_sft_export_stream_job(
     os.makedirs(cfg.sink_path, exist_ok=True)
     late_counter = spark.sparkContext.accumulator(0)
     stream = read_transcript_stream(spark, source_dir)
-    pairs = sft_stream(stream, cfg, context_turns, late_counter)
+    pairs = sft_stream(stream, cfg, context_turns, late_counter,
+                       context_budget)
 
     def batch_writer(df: DataFrame, epoch_id: int) -> None:
         write_epoch(df, epoch_id, cfg.sink_path)

@@ -84,14 +84,28 @@ def _line(role, text) -> str:
     return f"{role}: {text}"
 
 
+def _ws_tokens_py(text) -> int:
+    """Python twin of the batch whitespace token count (0 for
+    empty/null) — shared rule with ``context_window_trim``."""
+    if text is None or (isinstance(text, float) and pd.isna(text)):
+        return 0
+    t = str(text).strip()
+    return len(t.split()) if t else 0
+
+
 def sft_pairs_pdf(
     pdf: pd.DataFrame,
     carry: pd.DataFrame,
     context_turns: int,
+    context_budget: int | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Emit SFT pairs for ``pdf``'s turns given the already-emitted
     ``carry`` prefix; return (pairs, new carry = last context_turns of
-    carry+pdf). Turn order is batch's: ascending turn_idx."""
+    carry+pdf). Turn order is batch's: ascending turn_idx.
+    ``context_budget`` applies the context_window_trim rule per pair
+    (longest suffix of context+target within the token budget, target
+    always kept, walk stops at the first busting line) — the exact twin
+    of ``sft_pairs_frame``'s array fold."""
     pdf = pdf.sort_values("turn_idx")
     conv_id = pdf["conv_id"].iloc[0]
     all_idx = list(carry["c_idx"]) + [int(x) for x in pdf["turn_idx"]]
@@ -107,9 +121,18 @@ def sft_pairs_pdf(
         lo = max(0, j - context_turns)
         if lo == j:
             continue
-        rows.append(
-            (conv_id, all_idx[j], "\n".join(lines[lo:j]), text)
-        )
+        if context_budget is not None:
+            total = _ws_tokens_py(text)
+            lo_eff = j
+            for i in range(j - 1, lo - 1, -1):
+                total += _ws_tokens_py(all_text[i])
+                if total > context_budget:
+                    break
+                lo_eff = i
+            ctx = "\n".join(lines[lo_eff:j])
+        else:
+            ctx = "\n".join(lines[lo:j])
+        rows.append((conv_id, all_idx[j], ctx, text))
     pairs = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "context", "target"]
     )
@@ -164,7 +187,8 @@ _EMPTY_CARRY = pd.DataFrame(
 
 
 def make_sft_handler(
-    cfg: HarvestConfig, context_turns: int = 3, late_counter=None
+    cfg: HarvestConfig, context_turns: int = 3, late_counter=None,
+    context_budget: int | None = None,
 ):
     """Build the applyInPandasWithState handler (see module docstring)."""
     gap_s = parse_duration_seconds(cfg.session_gap)
@@ -178,7 +202,9 @@ def make_sft_handler(
         if state.hasTimedOut:
             buf, carry = _state_to_frames(conv_id, state.get)
             if len(buf):
-                pairs, _ = sft_pairs_pdf(buf, carry, context_turns)
+                pairs, _ = sft_pairs_pdf(
+                    buf, carry, context_turns, context_budget
+                )
                 if len(pairs):
                     yield pairs
             state.remove()
@@ -211,7 +237,9 @@ def make_sft_handler(
             end_ms = sess["ts"].max().value // 1_000_000
             # strict <: at ts == end + gap an admissible turn still merges
             if not keep and wm_ms > 0 and end_ms + gap_ms < wm_ms:
-                pairs, carry = sft_pairs_pdf(sess, carry, context_turns)
+                pairs, carry = sft_pairs_pdf(
+                    sess, carry, context_turns, context_budget
+                )
                 if len(pairs):
                     yield pairs
             else:
@@ -236,13 +264,15 @@ def sft_stream(
     cfg: HarvestConfig,
     context_turns: int = 3,
     late_counter=None,
+    context_budget: int | None = None,
 ) -> DataFrame:
     """Wire the SFT handler onto a watermarked transcript stream."""
     return (
         transcripts_stream.withWatermark("ts", cfg.watermark_delay)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            make_sft_handler(cfg, context_turns, late_counter),
+            make_sft_handler(cfg, context_turns, late_counter,
+                             context_budget),
             outputStructType=SFT_OUTPUT_SCHEMA,
             stateStructType=SFT_STATE_SCHEMA,
             outputMode="append",
