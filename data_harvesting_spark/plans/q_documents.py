@@ -833,6 +833,99 @@ FROM pos
 """
 
 
+def sequence_pack_frame(
+    toks: DataFrame,
+    budget: int = 512,
+    n_shards: int = 256,
+    max_shard_rows: int = 1_000_000,
+) -> DataFrame:
+    """Distributed running-sum packing core over a (doc_id, n_tokens)
+    frame — see ``q_sequence_pack``. Shard = contiguous doc_id range, so
+    (shard, doc_id) order equals doc_id order; per-shard token aggregates
+    + one cumulative window give exclusive global offsets.
+
+    Hot-shard auto-split (round-4 verdict item #9 — the "widen the knob
+    at scale" instruction is now code): the per-shard aggregate also
+    counts rows, and any shard holding more than ``max_shard_rows``
+    subdivides into ``ceil(count / max_shard_rows)`` contiguous id
+    subranges via a broadcast of the per-shard split factors — O(1) per
+    row, no quantile probe, no wide expression. (shard, sub, doc_id)
+    order still equals doc_id order, so values are identical to the
+    global window; the id-skew test pins that a deliberately dense id
+    range really is split while results stay exact."""
+    from pyspark.sql import Window
+
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty input: keep the schema, skip the shard math
+        shard_size = 1
+    else:
+        shard_size = max(1, (int(hi) - int(lo)) // n_shards + 1)
+    sharded = toks.withColumn(
+        "shard", F.floor(F.col("doc_id") / F.lit(shard_size))
+    )
+    splits = (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            F.ceil(F.col("cnt") / F.lit(max_shard_rows))
+            .cast("int")
+            .alias("nsub"),
+        )
+    )
+    sharded = sharded.join(F.broadcast(splits), "shard").withColumn(
+        "sub",
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.col("shard") * F.lit(shard_size))
+                * F.col("nsub")
+                / F.lit(shard_size)
+            ),
+            (F.col("nsub") - 1).cast("bigint"),
+        ).cast("int"),
+    )
+    shard_tok = sharded.groupBy("shard", "sub").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    w_off = Window.orderBy("shard", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = shard_tok.select(
+        "shard", "sub", (F.sum("tok").over(w_off) - F.col("tok")).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("shard", "sub")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = (
+        sharded.join(F.broadcast(offsets), ["shard", "sub"])
+        .withColumn(
+            "start_tok",
+            (
+                F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+                + F.col("off")
+            ).cast("bigint"),
+        )
+    )
+    start_seq = F.floor(F.col("start_tok") / budget)
+    return pos.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        start_seq.cast("int").alias("start_seq"),
+        (F.col("start_tok") % budget).cast("int").alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
+            - start_seq
+            + 1
+        )
+        .cast("int")
+        .alias("n_seqs"),
+    )
+
+
 @register("sequence_pack", _PACK_SQL)
 def q_sequence_pack(
     spark: SparkSession, sf_dir: str, n_shards: int = 256
@@ -850,12 +943,10 @@ def q_sequence_pack(
     shard's exclusive global token offset (the ``shuffle_order`` pattern),
     and the final start position is shard offset + the within-shard
     running sum — one hash exchange on shard for the big side, offsets
-    broadcast, the only single-partition stage bounded by ``n_shards``
-    rows. Identical values to the global window, so the same oracle
-    checks it. Widen ``n_shards`` until one shard's rows fit a task's
-    sort at the target scale (the shard-size probe is one min/max agg)."""
-    from pyspark.sql import Window
-
+    broadcast, the only single-partition stage bounded by the (sub)shard
+    count. Identical values to the global window, so the same oracle
+    checks it. Shards holding more than ``max_shard_rows`` rows now
+    subdivide AUTOMATICALLY (r5; see ``sequence_pack_frame``)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id",
@@ -865,51 +956,7 @@ def q_sequence_pack(
             )
         ).cast("bigint").alias("n_tokens"),
     )
-    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:  # empty input: keep the schema, skip the shard math
-        shard_size = 1
-    else:
-        shard_size = max(1, (int(hi) - int(lo)) // n_shards + 1)
-    sharded = toks.withColumn(
-        "shard", F.floor(F.col("doc_id") / F.lit(shard_size))
-    )
-    shard_tok = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("tok"))
-    w_off = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = shard_tok.select(
-        "shard", (F.sum("tok").over(w_off) - F.col("tok")).alias("off")
-    )
-    w_in = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    pos = (
-        sharded.join(F.broadcast(offsets), "shard")
-        .withColumn(
-            "start_tok",
-            (
-                F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-                + F.col("off")
-            ).cast("bigint"),
-        )
-    )
-    budget = 512
-    start_seq = F.floor(F.col("start_tok") / budget)
-    return pos.select(
-        "doc_id",
-        "n_tokens",
-        "start_tok",
-        start_seq.cast("int").alias("start_seq"),
-        (F.col("start_tok") % budget).cast("int").alias("seq_offset"),
-        F.when(F.col("n_tokens") == 0, F.lit(0))
-        .otherwise(
-            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / budget)
-            - start_seq
-            + 1
-        )
-        .cast("int")
-        .alias("n_seqs"),
-    )
+    return sequence_pack_frame(toks, budget=512, n_shards=n_shards)
 
 
 # TF-IDF top terms per document — the classic content-signature op a
@@ -1482,7 +1529,11 @@ WHERE rn <= 50
 
 @register("group_sample_k", _GROUPK_SQL)
 def q_group_sample_k(
-    spark: SparkSession, sf_dir: str, k: int = 50, prefix_len: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    prefix_len: int | None = None,
+    max_bucket_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact-k deterministic uniform sample per group (k=50 per lang):
     rank docs by a cross-engine hash of their id inside each language and
@@ -1496,15 +1547,31 @@ def q_group_sample_k(
     bucket whose string order refines the full-hash order, so the global
     within-lang rank decomposes into bucket offset + within-bucket rank —
     the ``shuffle_order`` pattern. Per-(lang, bucket) COUNTS (a tiny
-    map-side-combined aggregate, |langs| x 256 rows) give each bucket its
-    exclusive offset; every bucket whose offset is already >= k can hold
-    no top-k row and is pruned BEFORE anything is sorted — the broadcast
-    semi-join keeps ~k + one bucket's worth of rows per lang (hash-
-    uniform: ~n/256 each), and only those survivors are ranked. The one
-    remaining sort touches O(k + n/4096-per-lang) rows, never a full
-    language; widen ``prefix_len`` to 3 (4096 buckets) when a single
-    bucket's rows outgrow a task."""
+    map-side-combined aggregate, |langs| x 16^prefix_len rows) give each
+    bucket its exclusive offset; every bucket whose offset is already
+    >= k can hold no top-k row and is pruned BEFORE anything is sorted —
+    the broadcast semi-join keeps ~k + one bucket's worth of rows per
+    lang, and only those survivors are ranked.
+
+    ``prefix_len=None`` (default) DERIVES the width (round-4 verdict
+    item #9): buckets are hash-uniform, so the expected bucket
+    population is max-lang-count / 16^p — one tiny lang-count aggregate
+    picks the smallest p (min 2, max 8) with expectation ≤
+    ``max_bucket_rows``; the hot-group test pins that a deliberately
+    dominant language widens the prefix automatically while values stay
+    exact (any prefix refines the same total order)."""
+    import math
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if prefix_len is None:
+        top = (
+            docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        need = math.ceil(max(int(top or 1), 1) / max_bucket_rows)
+        prefix_len = min(max(2, math.ceil(math.log(need, 16))), 8)
     key = F.md5(F.col("doc_id").cast("string"))
     b = docs.select(
         "doc_id", "lang", key.alias("k"),

@@ -1976,3 +1976,105 @@ def test_ivfpq_residual_recall(spark):
     # measured: plain 0.273, residual 0.436 on this fixture
     assert recall[True] >= recall[False] + 0.10, recall
     assert recall[True] >= 0.35, recall
+
+
+def test_sequence_pack_hot_shard_auto_splits(spark):
+    """Round-4 verdict item #9: a shard holding more rows than
+    max_shard_rows subdivides automatically (the docstring's 'widen the
+    knob' is now code). Fixture: 900 ids dense across shard 0's range +
+    100 sparse ids far away — shard 0 must split into ~count/max
+    subranges, populations stay bounded, and every start_tok equals the
+    single-global-window reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.plans.q_documents import sequence_pack_frame
+
+    dense = list(range(0, 62500, 70))            # ~893 ids inside shard 0
+    sparse = list(range(100_000, 1_000_000, 9000))  # 100 ids, shards 1+
+    rows = [(i, (i % 7) + 1) for i in dense + sparse]
+    toks = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    got = sequence_pack_frame(
+        toks, budget=512, n_shards=16, max_shard_rows=100
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = (
+        toks.withColumn(
+            "start_tok",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["start_tok"].tolist() == want["start_tok"].tolist()
+
+    # the hot shard really split: rebuild the (shard, sub) assignment the
+    # operator used and check the resulting populations
+    lo, hi = 0, max(dense + sparse)
+    shard_size = max(1, (hi - lo) // 16 + 1)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": dense + sparse})
+    pdf["shard"] = pdf["doc_id"] // shard_size
+    cnt = pdf.groupby("shard")["doc_id"].count()
+    assert cnt.max() > 100  # fixture really has a hot shard
+    nsub = (cnt / 100).apply(lambda c: -(-c // 1)).astype(int)
+    pdf = pdf.merge(nsub.rename("nsub"), left_on="shard", right_index=True)
+    off = pdf["doc_id"] - pdf["shard"] * shard_size
+    pdf["sub"] = (off * pdf["nsub"] // shard_size).clip(upper=pdf["nsub"] - 1)
+    pops = pdf.groupby(["shard", "sub"])["doc_id"].count()
+    assert pops.max() <= 2 * 100, pops.max()
+    assert (pdf["nsub"] > 1).any()
+
+
+def test_group_sample_k_prefix_widens_for_hot_group(spark, tmp_path):
+    """Round-4 verdict item #9 for group_sample_k: with prefix_len
+    unset, a dominant language widens the bucket prefix automatically
+    (expected bucket population ≤ max_bucket_rows) while the sample
+    stays EXACTLY the plain per-lang rank's top-k."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.plans.q_documents import q_group_sample_k
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(5050),
+            "lang": ["en"] * 5000 + ["fr"] * 50,
+        }
+    )
+    docs["text"] = "word " * 3
+    docs["source"] = "fixture"
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = q_group_sample_k(
+        spark, str(tmp_path), k=10, max_bucket_rows=16
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # need = ceil(5000/16) = 313 -> prefix 3 (4096 buckets), not the min 2
+    assert ", 1, 3)" in plan and ", 1, 2)" not in plan
+
+    gpdf = got.toPandas().sort_values(["lang", "rn"]).reset_index(drop=True)
+    src = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    want = (
+        src.select(
+            "doc_id", "lang",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 10)
+        .toPandas()
+        .sort_values(["lang", "rn"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        gpdf[["doc_id", "lang", "rn"]], want[["doc_id", "lang", "rn"]]
+    )
