@@ -45,33 +45,8 @@ def register(name: str, oracle: str | None):
 DRIVER_WINDOW = 50
 
 _WINDOW_FRONT = [
-    # never driver-checked through round 3 (registered past the window)
-    "assemble_conversation",
-    "run_report",
-    "multi_enricher_union",
-    "suppression_sweep",
-    "salted_tool_counts",
-    "curate_sessions_kernel",
-    "label_lines",
-    "latency_quantiles",
-    "boilerplate_strip",
-    "tool_loops",
-    "similar_workflows",
-    "harvest_rollup",
-    "role_pivot",
-    "sft_pairs",
-    "dpo_pairs",
-    # plans changed in round 4 (scale-path rework) — need a fresh row
-    "sequence_pack",
-    "doc_length_band",
-    "group_sample_k",
-    # flagship pair — always inside the window
-    "curate_pairs",
-    "training_export",
-]
-
-_WINDOW_TAIL = [
-    # green in rounds 1-3, untouched since — safe to rotate past the window
+    # rounds 1-3 driver rows only — rotated back in for a fresh round-5
+    # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
     "stratified_sample",
     "tfidf_top_terms",
     "dataset_mix",
@@ -113,6 +88,65 @@ _WINDOW_TAIL = [
     "media_features",
     "media_frames",
     "doc_redact",
+    # plans changed in round 5 — need a fresh driver row
+    "semantic_dedup",       # corpus-derived anchor budget
+    "ann_ivfpq_topk",       # residual encoding
+    "sequence_pack",        # hot-shard auto-split
+    "group_sample_k",       # derived prefix width
+    "doc_badwords",         # blocklist_counts dispatch
+    "sft_pairs",            # sft_pairs_frame context_budget refactor
+    # flagship pair — always inside the window
+    "curate_pairs",
+    "training_export",
+]
+
+_WINDOW_TAIL = [
+    # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
+    # rotate past the window; the digest pin + the per-round full-catalog
+    # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a
+    # machine-checked value signal on every one of these regardless
+    "assemble_conversation",
+    "run_report",
+    "multi_enricher_union",
+    "suppression_sweep",
+    "salted_tool_counts",
+    "curate_sessions_kernel",
+    "label_lines",
+    "latency_quantiles",
+    "boilerplate_strip",
+    "tool_loops",
+    "similar_workflows",
+    "harvest_rollup",
+    "role_pivot",
+    "dpo_pairs",
+    "doc_length_band",
+    "minhash_lsh_dups",
+    "embedding_clusters",
+    "embedding_kmeans_k2",
+    "embedding_elbow_k",
+    "ann_ivf_topk",
+    "bpe_pair_counts",
+    "bpe_token_counts",
+    "doc_lm_score",
+    "doc_chunks",
+    "doc_lm_score_bigram",
+    "ann_pq_topk",
+    "embedding_pca_power",
+    "doc_dsir_score",
+    "doc_block_dedup",
+    "doc_bloom_decontaminate",
+    "cms_top_words",
+    "hll_distinct_shingles",
+    "source_mix_report",
+    "media_dedup",
+    "shingle_sample_bottomk",
+    "word_pair_lift",
+    "doc_gate_report",
+    "hll_source_overlap",
+    "tpch_q3",
+    "events_funnel",
+    "cohort_retention",
+    "context_trim",
 ]
 
 
