@@ -60,12 +60,46 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    total = sum(vals)
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return total, idle, steal
+
+
+def host_idle_probe(seconds: float = 1.0) -> dict:
+    """Idle/steal percentages over a short pre-run window — recorded in
+    the artifact so rounds can separate plan changes from host-load luck
+    (round-4 verdict item #7: BENCH.md prose carried this, the JSON now
+    does too)."""
+    a = _cpu_sample()
+    time.sleep(seconds)
+    b = _cpu_sample()
+    dt = (b[0] - a[0]) or 1
+    return {
+        "idle_pct": round(100 * (b[1] - a[1]) / dt, 1),
+        "steal_pct": round(100 * (b[2] - a[2]) / dt, 1),
+    }
+
+
+def _host_window(a: tuple, b: tuple) -> dict:
+    dt = (b[0] - a[0]) or 1
+    return {
+        "idle_pct": round(100 * (b[1] - a[1]) / dt, 1),
+        "steal_pct": round(100 * (b[2] - a[2]) / dt, 1),
+    }
+
+
 def run_headline() -> dict:
     import __spark_entry__ as entrymod
     from data_harvesting_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    idle_before = host_idle_probe()
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -81,6 +115,7 @@ def run_headline() -> dict:
     # (same session, same query objects), so this is noise damping only.
     # BOTH raw passes are recorded in the artifact (r3 ADVICE: the
     # round-1/2 series was single-pass; pass 1 here bridges it).
+    cpu_a = _cpu_sample()
     per_pass: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
@@ -89,6 +124,7 @@ def run_headline() -> dict:
             _noop_write(fn(spark, sf_dir))
             per_pass[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in per_pass.items()}
+    cpu_b = _cpu_sample()
 
     # curated-turns/sec: input transcript turns / flagship wall time
     # (BASELINE.json metric). Input size measured once, outside the timing.
@@ -112,6 +148,10 @@ def run_headline() -> dict:
         "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         "input_turns": n_turns,
         "curated_turns_per_sec": turns_per_sec,
+        "host": {
+            "idle_before": idle_before,
+            "during": _host_window(cpu_a, cpu_b),
+        },
     }
     spark.stop()
     return result
@@ -266,12 +306,15 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     hi_cores = lo_cores * 4
     shutil.rmtree(SCALE_DATA, ignore_errors=True)
+    idle_before = host_idle_probe()
     data_dir = generate_scale_input(n_turns)
+    cpu_a = _cpu_sample()
     lo_times: list[float] = []
     hi_times: list[float] = []
     for _ in range(rounds):
         lo_times.append(_curate_timed(lo_cores, data_dir))
         hi_times.append(_curate_timed(hi_cores, data_dir))
+    cpu_b = _cpu_sample()
     lo_sec, hi_sec = min(lo_times), min(hi_times)
     eff = round((lo_sec / hi_sec) / 4, 3)
     # each round's legs run back-to-back (~a minute apart) and so share a
@@ -295,6 +338,10 @@ def run_scaling(n_turns: int, lo_cores: int = 8, rounds: int = 4) -> dict:
         },
         f"scaling_efficiency_{lo_cores}_to_{hi_cores}": eff,
         "per_round_eff": per_round,
+        "host": {
+            "idle_before": idle_before,
+            "during": _host_window(cpu_a, cpu_b),
+        },
     }
 
 
