@@ -205,6 +205,52 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- signature-estimate near-dup pairs
+# The r5 incremental-components edge rule as an oracle-checked batch query:
+# band-bucket candidates verified by SIGNATURE-estimated Jaccard (fraction
+# of agreeing minhash positions) — the verify that needs only the bounded
+# signature index, no re-read of document text (what the streaming
+# union-find probes the corpus with).
+_SIGPAIRS_SQL = f"""
+WITH {_BANDS_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.hi = ma.hi
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM agree WHERE est_jaccard >= 0.5
+"""
+
+
+@register("sig_pair_dups", _SIGPAIRS_SQL)
+def q_sig_pair_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs decided ENTIRELY from minhash signatures
+    (`operators/dedup.py::minhash_sig_pairs`): band candidates, then
+    estimated Jaccard = agreeing positions / 16 ≥ 0.5. This is the edge
+    rule the r5 streaming incremental-components job maintains clusters
+    with — here value-checked against the full DuckDB reconstruction of
+    signatures, bands, and the agreement count. md5 mode for
+    portability; production default is xxhash64."""
+    from data_harvesting_spark.operators.dedup import (
+        minhash_sig_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_sig_pairs(
+        minhash_signatures(docs, n=3, hash_mode="md5"), threshold=0.5
+    )
+
+
 # ------------------------------------------------------- duplicate clusters
 # Pair list → transitive closure → keep-set: the step between "near-dup
 # pairs" and "one canonical doc per duplicate group". Spark runs the
