@@ -84,9 +84,6 @@ _WINDOW_FRONT = [
     "inter_turn_latency",
     "exists_forall",
     "doc_fingerprint",
-    "token_counts",
-    "media_features",
-    "media_frames",
     "doc_redact",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
@@ -101,6 +98,13 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
+    # rotated back out in round 5 to make room for the three new
+    # queries (doc_bm25_terms, group_sample_weighted, events_ewma) —
+    # all three are pure projections/window rollups with r1-3 driver
+    # rows, digest-pinned and swept every round
+    "token_counts",
+    "media_features",
+    "media_frames",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

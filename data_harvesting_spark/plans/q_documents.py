@@ -3006,3 +3006,175 @@ def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+# BM25 top terms per document — the retrieval-grade upgrade of
+# tfidf_top_terms (Robertson et al.; the Lucene practical variant with
+# non-negative idf). Length normalization needs two corpus scalars (N,
+# avgdl); both are exact-integer ratios so the per-row double expression
+# is bit-identical cross-engine. Scores rounded to 6 decimals BEFORE
+# ranking so rank ties break identically (term ASC).
+_BM25_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+tot AS (SELECT COUNT(*) AS t FROM w2),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (CAST(tot.t AS DOUBLE) / n.n))),
+               6) AS score
+  FROM tf
+  JOIN (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id) dl
+       USING (doc_id)
+  JOIN df USING (term) CROSS JOIN n CROSS JOIN tot
+)
+SELECT doc_id, term, score, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= 3
+"""
+
+
+@register("doc_bm25_terms", _BM25_SQL)
+def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75, Lucene-style
+    ``ln(1+(N-df+0.5)/(df+0.5))`` idf — non-negative for stopwords).
+
+    Scale posture mirrors ``tfidf_top_terms``: the term-DF vocabulary is
+    the small side → broadcast; the tf aggregate shuffles once on
+    (doc_id, term); doc length is ``sum(tf)`` over a doc_id window, and
+    the final rank window rides the SAME doc_id partitioning (one
+    exchange serves both). The two corpus scalars (N, total words) are
+    driver literals from exact-integer counts, so length normalization
+    stays inside whole-stage codegen and is bit-identical to the
+    oracle's integer-ratio arithmetic."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    total = words.count()
+    avgdl = F.lit(float(total)) / F.lit(float(n))
+    df_ = (
+        words.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    dl = F.sum("tf").over(Window.partitionBy("doc_id"))
+    idf = F.log(
+        1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.withColumn("dl", dl)
+        .join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                idf
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+# Weighted exact-k per-group sampling (Efraimidis-Spirakis A-Res):
+# key_i = ln(u_i) / w_i with u_i a deterministic per-row uniform from the
+# portable 60-bit md5 hash; the k largest keys per group ARE a weighted
+# sample without replacement — replay-stable, order-independent, and
+# exactly k per group. Weight here = n_chars + 1 (longer docs favored),
+# the quality/length-weighted selection a data-mixing pipeline runs.
+_GROUPW_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         round(ln((CAST(concat('0x', substr(md5('ws-' || CAST(doc_id AS
+                        VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                  / 1152921504606846976.0)
+               / (n_chars + 1), 6) AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, sample_key, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY sample_key DESC, doc_id) AS INT) AS rn
+  FROM keyed) t
+WHERE rn <= 20
+"""
+
+
+@register("group_sample_weighted", _GROUPW_SQL)
+def q_group_sample_weighted(
+    spark: SparkSession, sf_dir: str, k: int = 20, n_salt: int = 16
+) -> DataFrame:
+    """Exact-k WEIGHTED sample per group (k=20 per lang, weight
+    n_chars+1): Efraimidis-Spirakis A-Res keys ``ln(u)/w`` ranked
+    descending — each doc's inclusion probability is proportional to its
+    weight, without replacement, deterministic under replay (u is a pure
+    md5 expression, salted 'ws-' so it is independent of the split /
+    sample / shuffle hashes). Keys are rounded to 6 decimals BEFORE
+    ranking so the order is engine-portable (ties broken by doc_id).
+
+    Scale posture — two-phase exact top-k, never a whole-group sort:
+    rows are salted into ``n_salt`` deterministic sub-buckets, ranked
+    within (lang, salt) — bounded partitions — and only each bucket's
+    local top-k (<= n_salt*k rows per lang) reaches the final per-lang
+    rank. Values are identical to the single global window because a
+    group's top-k is contained in the union of its sub-buckets' top-k.
+    u > 0 always: the 60-bit hash + 1 is at least 1/2^60, so ln() is
+    finite; weights are positive by construction."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws-"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.round(
+        F.log((h + 1) / F.lit(1152921504606846976.0)) / (F.col("n_chars") + 1),
+        6,
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        key.alias("sample_key"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt)).alias("salt"),
+    )
+    w_local = Window.partitionBy("lang", "salt").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    survivors = keyed.withColumn(
+        "lrn", F.row_number().over(w_local)
+    ).where(F.col("lrn") <= k)
+    w_glob = Window.partitionBy("lang").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    return (
+        survivors.select("doc_id", "lang", "sample_key")
+        .withColumn("rn", F.row_number().over(w_glob).cast("int"))
+        .where(F.col("rn") <= k)
+    )

@@ -355,3 +355,54 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+@register(
+    "events_ewma",
+    """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(value * CASE WHEN rn = 1 THEN power(0.7, n - 1)
+                              ELSE 0.3 * power(0.7, n - rn) END), 6)
+           AS ewma
+FROM r GROUP BY user_id
+""",
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha=0.3, s_1 = x_1; s_i = a*x_i + (1-a)*s_{i-1}) — the smoothed
+    per-key health/engagement signal a monitoring rollup keeps. The
+    recurrence's closed form is a plain weighted SUM (weight of row i is
+    a*(1-a)^(n-i), the first row (1-a)^(n-1)), so the "sequential" state
+    machine is ONE aggregate: no recursion, no collect, no UDF. Every
+    exponent is n-i <= n so all weights are in (0,1] — well-conditioned
+    at any series length, unlike the (1-a)^(-i) prefix-sum form which
+    overflows past ~700 rows.
+
+    Scale posture: one hash exchange on user_id serves both the rank
+    window and the final aggregate (same partitioning); the weighted sum
+    is map-side combinable within the sorted partition. Weights sum to
+    1 so ewma is bounded by max(value): the 6-decimal rounding is far
+    above the ~1e-13 relative float noise of cross-engine sum order."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.7), F.col("n") - 1)
+    ).otherwise(0.3 * F.pow(F.lit(0.7), F.col("n") - F.col("rn")))
+    return r.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value") * weight), 6).alias("ewma"),
+    )
