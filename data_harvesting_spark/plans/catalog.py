@@ -73,7 +73,6 @@ _WINDOW_FRONT = [
     "value_buckets",
     "events_user_distinct",
     "exact_count_hist",
-    "rate_sample",
     "label_translate",
     "crop_renumber",
     "events_sliding_value",
@@ -105,6 +104,9 @@ _WINDOW_TAIL = [
     "token_counts",
     "media_features",
     "media_frames",
+    # rotated out mid-round-5 to admit pattern_failed_retry: a pure
+    # stride-filter projection, driver-green in rounds 1-3, digest-pinned
+    "rate_sample",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

@@ -1067,3 +1067,56 @@ def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_transcripts_from_events(spark, sf_dir)
     return context_window_trim(t, budget=_CTX_BUDGET)
+
+
+# ------------------------------------------------- CEP failure->retry
+# MATCH_RECOGNIZE-style sequence pattern (the north-star's CEP framing
+# made explicit): a tool call whose response is blank/absent, retried by
+# the conversation's next call with the SAME tool. Shared semantics with
+# the streaming detector (operators/patterns.py docstring).
+
+_PATTERN_SQL = _with_t("""
+, seq AS (
+  SELECT conv_id, turn_idx, role, tool,
+         LEAD(turn_idx) OVER w AS n_idx,
+         LEAD(role)     OVER w AS n_role,
+         LEAD(text)     OVER w AS n_text
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+calls AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN n_idx = turn_idx + 1 AND n_role = 'tool'
+              THEN CASE WHEN length(trim(n_text)) = 0
+                        THEN 'error' ELSE 'ok' END
+              ELSE 'missing' END AS outcome
+  FROM seq
+  WHERE role = 'assistant' AND tool IS NOT NULL
+),
+paired AS (
+  SELECT conv_id, turn_idx, tool, outcome,
+         LEAD(turn_idx) OVER w2 AS retry_idx,
+         LEAD(tool)     OVER w2 AS next_tool
+  FROM calls
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT)  AS fail_idx,
+       CAST(retry_idx AS INT) AS retry_idx,
+       tool, outcome
+FROM paired
+WHERE outcome <> 'ok' AND next_tool = tool
+""")
+
+
+@register("pattern_failed_retry", _PATTERN_SQL)
+def q_pattern_failed_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP failure->retry pattern matches (see operators/patterns.py).
+    Scale posture: outcome lookup and next-call pairing are both lead
+    windows over the SAME conv_id partitioning — one hash exchange total,
+    no self-join; at 100 TB the cost is one conversation-keyed shuffle of
+    the turn table, identical to the flagship's profile."""
+    from data_harvesting_spark.operators.patterns import failed_retry_matches
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return failed_retry_matches(t)

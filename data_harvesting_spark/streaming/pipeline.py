@@ -875,6 +875,46 @@ def start_sft_export_stream_job(
     return q
 
 
+def start_pattern_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """The batch ``pattern_failed_retry`` CEP query as ONE continuous
+    stream: a buffer-then-emit stateful handler (streaming/patterns.py)
+    finalizes each conversation's sessions in event-time order and emits
+    failure->retry matches the moment the retry call is final, carrying
+    the conversation's last call turn (+ its successor, if seen) across
+    session closes so cross-session matches emit EXACTLY as the batch
+    lead-windows would. Output flows through the idempotent epoch sink
+    (W7; pinned by the kill-resume test)."""
+    from data_harvesting_spark.config import validate_config
+    from data_harvesting_spark.streaming.patterns import pattern_stream
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    validate_config(cfg, streaming_runner="kernel")
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    matches = pattern_stream(stream, cfg, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, epoch_id, cfg.sink_path)
+
+    writer = (
+        matches.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:

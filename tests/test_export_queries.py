@@ -166,7 +166,13 @@ def test_sequence_pack_oracle_and_plan(spark):
     plan, got = _oracle_parity(spark, "sequence_pack", ["doc_id"])
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # Four hash exchanges since the r5 hot-shard auto-split: ONE carries
+    # the full-width big side into the within-shard window; the other
+    # three are post-partial-agg probe shuffles bounded by the shard
+    # count (the nsub row-count probe — once per subtree since the
+    # offsets branch re-derives the sharding — and the per-(shard, sub)
+    # token aggregate feeding the broadcast offsets).
+    assert plan.count("Exchange hashpartitioning") == 4, plan
 
     # the tiling is gap-free across shard boundaries (the exact property
     # a wrong shard offset would break)
@@ -293,10 +299,15 @@ def test_semantic_dedup_oracle_and_semantics(spark):
     assert len(got) > 0
     # dropped = ids absent from the kept set; each must have a smaller-id
     # mate in the SAME cell with cosine >= 0.45 per the exact table
+    # anchor budget mirrors the implementation's corpus-derived rule
+    # (r5: n_anchors = ceil(n / 64) on the %37 residue grid)
+    n_corpus = len(all_ids)
+    max_aid = 37 * -(-n_corpus // 64)
     cells = duck_on_sf(
-        """
+        f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        anchors AS (SELECT vec_id aid, v av FROM e WHERE vec_id % 37 = 0 AND vec_id < 2368)
+        anchors AS (SELECT vec_id aid, v av FROM e
+                    WHERE vec_id % 37 = 0 AND vec_id < {max_aid})
         SELECT vec_id, aid AS cell FROM (
           SELECT e.vec_id, a.aid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid ASC) rn

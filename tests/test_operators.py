@@ -1853,17 +1853,16 @@ def test_semantic_dedup_cells_stay_bounded_under_skew(spark):
 
 def test_blocklist_join_path_parity_and_plan(spark):
     """Round-4 verdict item #3: a production-size blocklist (400 words)
-    must not compile a 400-term expression chain — trying to build one
-    actually throws a JVM StackOverflowError (asserted below). Above the
+    must not compile a 400-term expression chain — a chain that deep can
+    overflow the JVM stack at plan-build time (observed on a fresh JVM;
+    whether it actually crashes depends on runtime stack state, so the
+    crash itself is NOT asserted — the join dispatch is). Above the
     threshold, blocklist_counts switches to exploded-words ⋈
     broadcast(blocklist): counts match the expression semantics on every
     document (incl. repeats, whole-word boundaries, zero-hit and empty
     docs), broadcast hash join in the plan, no nested-loop join; the
     small-list path stays join-free."""
     import re
-
-    import py4j.protocol
-    import pytest as _pytest
 
     from data_harvesting_spark.functions.text import (
         BLOCKLIST_JOIN_THRESHOLD,
@@ -1913,11 +1912,6 @@ def test_blocklist_join_path_parity_and_plan(spark):
         .sort_index()
     )
     assert small.tolist() == [3, 0, 2, 0, 0]
-
-    # the failure mode the join path exists to avoid: the 400-term
-    # expression chain overflows the JVM stack at plan build time
-    with _pytest.raises(py4j.protocol.Py4JJavaError):
-        docs.select(blocklist_hits("text", big_list).alias("n")).collect()
 
     plan_big = (
         blocklist_counts(docs, big_list)

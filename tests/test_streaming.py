@@ -3274,3 +3274,251 @@ def test_sft_export_stream_context_budget_kill_and_resume(
     want = _sft_batch_reference_budget(spark, fixture_batches, budget)
     want = want[want["conv_id"] != "conv-flush"]
     pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
+
+
+# ------------------------------------------------------- CEP pattern stream
+@pytest.fixture(scope="module")
+def pattern_batches(tmp_path_factory):
+    """Bespoke failure->retry fixture (the generator's recipes never retry
+    a failed tool). Conversations cover: same-session error retry (a),
+    missing-response retry (b), failure retried with a DIFFERENT tool (c,
+    no match), cross-session error retry 2h apart (d), cross-session
+    missing retry — the pending-outcome carry (e), ok call then same tool
+    (f, no match), consecutive double failure (g, two matches), terminal
+    failure with no retry (h, no match), and a beyond-watermark late
+    retry (i — dropped by the stream, present in batch). conv-a's rows
+    are written out of turn order inside their files (the handler sorts).
+    """
+    import time as _time
+
+    base = pd.Timestamp("2026-07-10 00:00:00")
+
+    def t(mins, secs=0):
+        return base + pd.Timedelta(minutes=mins, seconds=secs)
+
+    s2 = base + pd.Timedelta(hours=2)
+    f0 = [
+        # conv-a (out of order in-file): error then retry same tool
+        ("conv-a", 2, "tool", "", "search", t(1)),
+        ("conv-a", 0, "user", "find the report", None, t(0)),
+        ("conv-a", 3, "assistant", "hmm, retrying", None, t(1, 30)),
+        ("conv-a", 1, "assistant", "call search q1", "search", t(0, 30)),
+        # conv-c: failure retried with a different tool -> no match
+        ("conv-c", 0, "user", "run it", None, t(0)),
+        ("conv-c", 1, "assistant", "call sql select", "sql", t(0, 30)),
+        ("conv-c", 2, "tool", "   ", "sql", t(1)),
+        ("conv-c", 3, "assistant", "call browser docs", "browser", t(1, 30)),
+        ("conv-c", 4, "tool", "page text", "browser", t(2)),
+        # conv-g: double failure, both retried with the same tool
+        ("conv-g", 0, "user", "compute", None, t(0)),
+        ("conv-g", 1, "assistant", "call sql v1", "sql", t(0, 30)),
+        ("conv-g", 2, "tool", "", "sql", t(1)),
+    ]
+    f1 = [
+        ("conv-a", 4, "user", "try again please", None, t(2)),
+        ("conv-a", 5, "assistant", "call search q2", "search", t(2, 30)),
+        ("conv-a", 6, "tool", "the report", "search", t(3)),
+        ("conv-a", 7, "assistant", "found it", None, t(3, 30)),
+        # conv-b: response dropped at source (idx 2 never exists)
+        ("conv-b", 0, "user", "plot this", None, t(0)),
+        ("conv-b", 1, "assistant", "call python plot", "python", t(0, 30)),
+        ("conv-b", 3, "assistant", "no output, retrying", None, t(1)),
+        ("conv-b", 4, "assistant", "call python plot2", "python", t(1, 30)),
+        ("conv-b", 5, "tool", "figure saved", "python", t(2)),
+        ("conv-g", 3, "assistant", "call sql v2", "sql", t(1, 30)),
+        ("conv-g", 4, "tool", "", "sql", t(2)),
+        ("conv-g", 5, "assistant", "call sql v3", "sql", t(2, 30)),
+        ("conv-g", 6, "tool", "42 rows", "sql", t(3)),
+        # conv-d session 1 ends on an error
+        ("conv-d", 0, "user", "search the wiki", None, t(4)),
+        ("conv-d", 1, "assistant", "call search wiki", "search", t(4, 30)),
+        ("conv-d", 2, "tool", "", "search", t(5)),
+        # conv-e session 1 ends on a call whose response never arrives
+        ("conv-e", 0, "user", "open the page", None, t(4)),
+        ("conv-e", 1, "assistant", "call browser open", "browser", t(4, 30)),
+        # conv-f: ok call then same tool -> no match
+        ("conv-f", 0, "user", "lookup", None, t(0)),
+        ("conv-f", 1, "assistant", "call search a", "search", t(0, 30)),
+        ("conv-f", 2, "tool", "hit", "search", t(1)),
+        ("conv-f", 3, "assistant", "call search b", "search", t(1, 30)),
+        ("conv-f", 4, "tool", "hit 2", "search", t(2)),
+        # conv-h: terminal failure, never retried
+        ("conv-h", 0, "user", "last thing", None, t(6)),
+        ("conv-h", 1, "assistant", "call calculator 1+1", "calculator", t(6, 30)),
+        ("conv-h", 2, "tool", "", "calculator", t(7)),
+        # conv-i: failure now; its retry arrives too late (file f3)
+        ("conv-i", 0, "user", "fetch", None, t(0)),
+        ("conv-i", 1, "assistant", "call search z", "search", t(0, 30)),
+        ("conv-i", 2, "tool", "", "search", t(1)),
+    ]
+    fw = [
+        # watermark driver: pushes wm past session-1 end + gap BEFORE the
+        # retries arrive, so conv-d/e session 1 is emitted and the carry
+        # (last call + successor-if-seen) genuinely crosses the close
+        ("conv-w", 0, "user", "unrelated", "flush", t(50)),
+    ]
+    f2 = [
+        # cross-session retries, 2h after session 1 (gap 30 min)
+        ("conv-d", 3, "user", "back — try the wiki again", None, s2),
+        ("conv-d", 4, "assistant", "call search wiki2", "search",
+         s2 + pd.Timedelta(seconds=30)),
+        ("conv-d", 5, "tool", "wiki text", "search",
+         s2 + pd.Timedelta(seconds=60)),
+        ("conv-e", 3, "user", "still nothing?", None, s2),
+        ("conv-e", 4, "assistant", "call browser open2", "browser",
+         s2 + pd.Timedelta(seconds=30)),
+        ("conv-e", 5, "tool", "page loaded", "browser",
+         s2 + pd.Timedelta(seconds=60)),
+    ]
+    f3 = [
+        # beyond-watermark late retry for conv-i (wm is ~s2-10min by now)
+        ("conv-i", 3, "assistant", "call search z2", "search", t(2)),
+        # flush row: far-future watermark driver
+        ("conv-flush", 0, "user", "flush", "flush",
+         s2 + pd.Timedelta(hours=12)),
+    ]
+    d = tmp_path_factory.mktemp("pattern_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate([f0, f1, fw, f2, f3]):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _pattern_batch_reference(spark, source_dir: str) -> pd.DataFrame:
+    from data_harvesting_spark.operators.patterns import failed_retry_matches
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    return failed_retry_matches(t).toPandas()
+
+
+def _canon_pattern(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(["conv_id", "fail_idx"]).reset_index(drop=True)
+    out["fail_idx"] = out["fail_idx"].astype("int64")
+    out["retry_idx"] = out["retry_idx"].astype("int64")
+    return out.reindex(sorted(out.columns), axis=1)
+
+
+def test_pattern_stream_equals_batch(spark, pattern_batches, tmp_path):
+    """Stream matches == batch lead-window matches over the same files,
+    including both cross-session retries (error and pending-missing);
+    the beyond-watermark late retry (conv-i) is dropped and counted."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_pattern_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_pattern_stream_job(spark, pattern_batches, cfg,
+                                 available_now=False)
+    drain(q)
+    # the drop is accounted on one of two channels depending on engine
+    # version: Spark >= 4.1 pre-filters late events before
+    # applyInPandasWithState (numRowsDroppedByWatermark); older engines
+    # hand them to the handler, which drops + counts via the accumulator
+    engine_dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    late_dropped = q.late_counter.value + engine_dropped
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    want = _pattern_batch_reference(spark, pattern_batches)
+
+    # exact expected match set (belt and braces vs the batch reference)
+    expect = {
+        ("conv-a", 1, 5, "search", "error"),
+        ("conv-b", 1, 4, "python", "missing"),
+        ("conv-d", 1, 4, "search", "error"),
+        ("conv-e", 1, 4, "browser", "missing"),
+        ("conv-g", 1, 3, "sql", "error"),
+        ("conv-g", 3, 5, "sql", "error"),
+    }
+    assert set(map(tuple, want[want["conv_id"] != "conv-i"].to_numpy())) == expect
+    # batch sees conv-i's late retry; the stream must have dropped it
+    assert ("conv-i" == want["conv_id"]).sum() == 1
+    assert "conv-i" not in set(got["conv_id"])
+    assert late_dropped >= 1
+    pd.testing.assert_frame_equal(
+        _canon_pattern(got),
+        _canon_pattern(want[want["conv_id"] != "conv-i"]),
+    )
+
+
+def test_pattern_stream_kill_and_resume(spark, pattern_batches, tmp_path):
+    """W7 on the pattern stream: kill mid-stream, resume from checkpoint,
+    final match set equals the uninterrupted reference."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_pattern_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_pattern_stream_job(spark, pattern_batches, cfg,
+                                 available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_pattern_stream_job(spark, pattern_batches, cfg,
+                                  available_now=False)
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    want = _pattern_batch_reference(spark, pattern_batches)
+    pd.testing.assert_frame_equal(
+        _canon_pattern(got),
+        _canon_pattern(want[want["conv_id"] != "conv-i"]),
+    )
+
+
+def test_pattern_pdf_composable_prefixes(spark):
+    """The pandas detector emits the same matches however the finalized
+    prefix is sliced (per-close composition == one-shot), and the carry
+    is always the last call + its successor-if-seen."""
+    from data_harvesting_spark.operators.patterns import (
+        EMPTY_PATTERN_CARRY,
+        failed_retry_pdf,
+    )
+
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 8,
+            "turn_idx": pd.array([0, 1, 2, 3, 4, 5, 7, 8], dtype="int32"),
+            "role": ["user", "assistant", "tool", "assistant",
+                     "assistant", "tool", "assistant", "assistant"],
+            "text": ["q", "call search", "", "retrying",
+                     "call search 2", "ok then", "call sql", "call sql 2"],
+            "tool": [None, "search", "search", None,
+                     "search", "search", "sql", "sql"],
+        }
+    )
+    one_shot, _ = failed_retry_pdf(turns, EMPTY_PATTERN_CARRY.copy())
+    for cut in range(1, len(turns)):
+        a, b = turns.iloc[:cut], turns.iloc[cut:]
+        m1, carry = failed_retry_pdf(a, EMPTY_PATTERN_CARRY.copy())
+        m2, _ = failed_retry_pdf(b, carry)
+        combined = pd.concat([m1, m2], ignore_index=True)
+        pd.testing.assert_frame_equal(
+            _canon_pattern(combined), _canon_pattern(one_shot), \
+            obj=f"cut={cut}"
+        )
+    # sanity on the one-shot content: search error retried at 4; the sql
+    # call at 7 has no turn 8 response (8 is another call) -> missing,
+    # retried by 8
+    assert set(map(tuple, one_shot.to_numpy())) == {
+        ("c", 1, 4, "search", "error"),
+        ("c", 7, 8, "sql", "missing"),
+    }
