@@ -387,10 +387,16 @@ def run_streaming(
         start_curate_job_session_window,
         start_dedup_stream_job,
         start_neardup_stream_job,
+        start_pattern_stream_job,
         start_sketch_stream_job,
     )
 
-    if mode in ("dedup", "neardup", "sketch"):
+    if mode == "pattern":
+        def starter(spark, src, cfg, available_now):
+            return start_pattern_stream_job(
+                spark, src, cfg, available_now=available_now
+            )
+    elif mode in ("dedup", "neardup", "sketch"):
         job = {
             "dedup": start_dedup_stream_job,
             "neardup": start_neardup_stream_job,
