@@ -837,3 +837,66 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", out_adist.alias("adist"))
     )
+
+
+def ivfpq_refine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_factor: int = 4,
+    nprobe: int = 4,
+    residual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with an exact refine stage (FAISS ``IndexRefineFlat``):
+    ADC ranks the probed cells' candidates from compressed codes, the
+    top ``k * refine_factor`` shortlist is re-scored with EXACT cosine
+    against the stored vectors, and the final top-k comes from the exact
+    scores. This is the standard production composition — PQ absorbs
+    the corpus-scale candidate scan, the exact pass touches only
+    O(queries * k * refine_factor) full vectors, so recall approaches
+    brute force at code-width memory traffic.
+
+    Scale posture: the shortlist is broadcast back against the corpus
+    (one hash join keyed by vec_id — the only stage that reads full
+    vectors), then one per-query window. Output (query_id, neighbor_id,
+    rank, cosine) matches the brute-force convention.
+    """
+    from pyspark.sql import Window
+
+    shortlist = ivfpq_topk(
+        embeddings, queries, k=k * refine_factor, nprobe=nprobe,
+        residual=residual, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    qvecs = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    exact = (
+        corpus.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs.join(
+            F.broadcast(shortlist.select("query_id").distinct()), "query_id"
+        )), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

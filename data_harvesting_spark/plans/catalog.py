@@ -70,9 +70,7 @@ _WINDOW_FRONT = [
     "harvest_rates_tool",
     "tpch_q1",
     "orders_by_nation",
-    "value_buckets",
     "events_user_distinct",
-    "exact_count_hist",
     "label_translate",
     "crop_renumber",
     "events_sliding_value",
@@ -104,9 +102,13 @@ _WINDOW_TAIL = [
     "token_counts",
     "media_features",
     "media_frames",
-    # rotated out mid-round-5 to admit pattern_failed_retry: a pure
-    # stride-filter projection, driver-green in rounds 1-3, digest-pinned
+    # rotated out mid-round-5 to admit pattern_failed_retry,
+    # tool_pagerank, and ann_ivfpq_refine_topk: a stride-filter
+    # projection, a CASE bucketing, and a grouped exact-count histogram,
+    # all driver-green in rounds 1-3, digest-pinned
     "rate_sample",
+    "value_buckets",
+    "exact_count_hist",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

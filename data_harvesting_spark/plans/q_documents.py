@@ -3178,3 +3178,51 @@ def q_group_sample_weighted(
         .withColumn("rn", F.row_number().over(w_glob).cast("int"))
         .where(F.col("rn") <= k)
     )
+
+
+# ----------------------------------------------- IVF-PQ + exact refine
+# FAISS IndexRefineFlat composition: the ADC shortlist (top k*4 per
+# query) re-scored with EXACT cosine, final top-k from the exact scores.
+# The oracle reuses the full IVF-PQ pipeline text above VERBATIM up to
+# its `adc` CTE (same cells, residual codes, integer-micro-unit distance
+# tables), then refines — so the two catalog entries can never drift on
+# the shared stages.
+_IVFPQ_REFINE_SQL = _IVFPQ_SQL[: _IVFPQ_SQL.index(
+    "SELECT query_id, neighbor_id, rank,"
+)] + """, shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, neighbor_id ASC) AS rn
+    FROM adc) t
+  WHERE rn <= 20
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(q.v, nb.v) AS cos
+  FROM shortlist s
+  JOIN e q  ON q.vec_id  = s.query_id
+  JOIN e nb ON nb.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+  FROM exact) t
+WHERE rank <= 5
+"""
+
+assert ", shortlist AS (" in _IVFPQ_REFINE_SQL
+assert "adc AS (" in _IVFPQ_REFINE_SQL
+
+
+@register("ann_ivfpq_refine_topk", _IVFPQ_REFINE_SQL)
+def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank (see operators/similarity.py::
+    ivfpq_refine_topk): compressed codes absorb the corpus-scale scan,
+    the exact cosine pass touches only the 20-candidate shortlist per
+    query — recall approaches brute force at code-width memory traffic."""
+    from data_harvesting_spark.operators.similarity import ivfpq_refine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_refine_topk(emb, queries, k=5, refine_factor=4, nprobe=4,
+                             residual=True)

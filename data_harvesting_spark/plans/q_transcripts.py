@@ -1120,3 +1120,100 @@ def q_pattern_failed_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_transcripts_from_events(spark, sf_dir)
     return failed_retry_matches(t)
+
+
+# ------------------------------------------------- tool-transition PageRank
+# Graph centrality over the tool-TRANSITION graph: nodes = tools, a
+# directed edge src->dst for every consecutive pair of tool calls inside
+# one conversation, weighted by count. PageRank (d=0.85, 3 iterations,
+# uniform init; dangling tools simply leak mass — documented variant)
+# answers "which tool is most central in agent workflows". The heavy part
+# at 100 TB is the transition aggregation (one conv_id window + one
+# (src,dst) hash agg); the iteration itself runs on the tool DIMENSION
+# (bounded, broadcast-sized), unrolled as joins — the same
+# loop-unrolled-into-SQL pattern as embedding_kmeans_k2 /
+# embedding_pca_power. Scores round to 6 decimals on BOTH engines (ulp
+# drift from unordered float sums is ~1e-14, far below the rounding
+# step — the tfidf_top_terms precedent).
+
+_PAGERANK_ITER = """
+it{k} AS (
+  SELECT nodes.tool,
+         0.15 / n.n + 0.85 * COALESCE(SUM(p.pr * e.cnt / o.out_w), 0) AS pr
+  FROM nodes CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = nodes.tool
+  LEFT JOIN it{prev} p ON p.tool = e.src
+  LEFT JOIN outs o ON o.src = e.src
+  GROUP BY nodes.tool, n.n
+)"""
+
+_PAGERANK_SQL = _with_t(
+    """
+, calls AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE role = 'assistant' AND tool IS NOT NULL
+),
+seq AS (
+  SELECT tool AS src,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM calls
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT tool FROM calls),
+outs AS (SELECT src, SUM(cnt) AS out_w FROM edges GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+it0 AS (SELECT tool, 1.0 / n.n AS pr FROM nodes CROSS JOIN n),
+"""
+    + ",".join(
+        _PAGERANK_ITER.format(k=k, prev=k - 1) for k in (1, 2, 3)
+    )
+    + """
+SELECT tool, ROUND(pr, 6) AS pagerank FROM it3
+"""
+)
+
+
+@register("tool_pagerank", _PAGERANK_SQL)
+def q_tool_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the tool-transition graph (see comment above).
+    Scale posture: the conv_id window rides the derivation's existing
+    exchange; the (src, dst) aggregate shuffles post-partial-agg (at most
+    |tools|^2 rows move); every iteration join is over the broadcast-
+    sized tool dimension."""
+    t = load_transcripts_from_events(spark, sf_dir)
+    calls = t.where(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = calls.select(
+        F.col("tool").alias("src"), F.lead("tool").over(w).alias("dst")
+    )
+    edges = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    nodes = calls.select("tool").distinct()
+    outs = edges.groupBy("src").agg(F.sum("cnt").alias("out_w"))
+    n = nodes.count()  # bounded: the tool dimension
+    pr = nodes.select("tool", F.lit(1.0 / n).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                F.broadcast(pr.withColumnRenamed("tool", "src")), "src"
+            )
+            .join(F.broadcast(outs), "src")
+            .groupBy(F.col("dst").alias("tool"))
+            .agg(F.sum(F.col("pr") * F.col("cnt") / F.col("out_w")).alias("s"))
+        )
+        pr = nodes.join(F.broadcast(contrib), "tool", "left").select(
+            "tool",
+            (
+                F.lit(0.15 / n)
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select("tool", F.round("pr", 6).alias("pagerank"))
