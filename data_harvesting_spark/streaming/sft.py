@@ -10,7 +10,12 @@ when a conversation spans multiple session windows: the first assistant
 turn of session 2 still sees the tail of session 1 as context, precisely
 as the batch frame (``ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING`` over the
 whole conversation) would. Carry width is O(context_turns) per live
-conversation — constant, no retention policy needed.
+conversation — constant. Since r5 the carry OUTLIVES the last session
+close on the ``cap_state_retention`` clock: a conversation resuming with
+non-late turns (ts >= watermark) after all its sessions were emitted
+still sees the previous tail as context, exactly as the batch frame
+does; a resumption later than the retention is scored as a fresh
+conversation (the sibling ledgers' divergence floor).
 
 Emission discipline mirrors the correlator: a session is emitted only
 once the event-time watermark passes ``session_end + gap`` (no earlier
@@ -193,6 +198,9 @@ def make_sft_handler(
     """Build the applyInPandasWithState handler (see module docstring)."""
     gap_s = parse_duration_seconds(cfg.session_gap)
     gap_ms = int(gap_s * 1000)
+    retention_ms = max(
+        gap_ms, int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
+    )
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -202,11 +210,30 @@ def make_sft_handler(
         if state.hasTimedOut:
             buf, carry = _state_to_frames(conv_id, state.get)
             if len(buf):
-                pairs, _ = sft_pairs_pdf(
+                pairs, carry = sft_pairs_pdf(
                     buf, carry, context_turns, context_budget
                 )
                 if len(pairs):
                     yield pairs
+                # gap timeout flushed the final buffered session; keep the
+                # emitted-turns carry on the RETENTION clock — a non-late
+                # turn can still arrive (ts >= watermark) and its batch
+                # context window reaches back across this close (r5 fix:
+                # previously the carry was dropped here, truncating the
+                # context of any post-close resumption)
+                if len(carry):
+                    last_ms = buf["ts"].max().value // 1_000_000
+                    wm_ms = state.getCurrentWatermarkMs()
+                    state.update(
+                        _frames_to_state(buf.iloc[0:0], carry)
+                    )
+                    state.setTimeoutTimestamp(
+                        max(last_ms + retention_ms, wm_ms + 1)
+                    )
+                    return
+            # retention timeout on a carry-only state: a resumption this
+            # late falls outside the retention contract (same divergence
+            # floor as the sibling ledgers)
             state.remove()
             return
 
@@ -250,10 +277,19 @@ def make_sft_handler(
             state.update(_frames_to_state(remaining, carry))
             last_ms = remaining["ts"].max().value // 1_000_000
             state.setTimeoutTimestamp(max(last_ms + gap_ms, wm_ms + 1))
+        elif len(carry):
+            # everything emitted, nothing buffered — but a NON-late turn
+            # (ts >= watermark) can still resume this conversation, and
+            # the batch frame's context window reaches back across the
+            # close. Keep the O(context_turns) carry on the retention
+            # clock (r5 fix; previously removed here, which truncated the
+            # context of post-close resumptions — the cross-close test
+            # pins the repaired behavior).
+            empty_buf = buf.iloc[0:0]
+            state.update(_frames_to_state(empty_buf, carry))
+            last_ms = buf["ts"].max().value // 1_000_000
+            state.setTimeoutTimestamp(max(last_ms + retention_ms, wm_ms + 1))
         else:
-            # everything emitted: nothing buffered, and any turn that could
-            # still want this carry as context would be beyond-watermark
-            # (dropped late) — forget the conversation
             state.remove()
 
     return handler

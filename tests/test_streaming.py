@@ -3522,3 +3522,79 @@ def test_pattern_pdf_composable_prefixes(spark):
         ("c", 1, 4, "search", "error"),
         ("c", 7, 8, "sql", "missing"),
     }
+
+
+@pytest.fixture(scope="module")
+def sft_post_close_resume_batches(tmp_path_factory):
+    """Like sft_two_session_batches, but a watermark-driver file sits
+    BETWEEN the sessions, so session 1 is emitted (gap timeout) before
+    any session-2 turn exists — the resumption then depends on the carry
+    surviving the close (the r5 retention-clock fix; previously the
+    state was removed and session 2 started contextless)."""
+    import time as _time
+
+    base = pd.Timestamp("2026-07-02 00:00:00")
+    s2 = base + pd.Timedelta(hours=2)
+    files = [
+        [
+            ("conv-y", 0, "user", "how do I sort a table", None, base),
+            ("conv-y", 1, "assistant", "use ORDER BY", None,
+             base + pd.Timedelta(seconds=20)),
+            ("conv-y", 2, "user", "and partition it", None,
+             base + pd.Timedelta(seconds=40)),
+            ("conv-y", 3, "assistant", "PARTITION BY works", None,
+             base + pd.Timedelta(seconds=60)),
+        ],
+        # watermark driver: wm passes session-1 end + gap long before the
+        # resumption below arrives, so session 1 closes via gap timeout
+        [("conv-wmdrv", 0, "user", "unrelated", "flush",
+          base + pd.Timedelta(minutes=50))],
+        [
+            ("conv-y", 4, "user", "back again: what about windows", None, s2),
+            ("conv-y", 5, "assistant", "frame with ROWS BETWEEN", None,
+             s2 + pd.Timedelta(seconds=20)),
+        ],
+        [("conv-flush", 0, "user", "flush", "flush",
+          s2 + pd.Timedelta(hours=12))],
+    ]
+    d = tmp_path_factory.mktemp("sft_resume_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def test_sft_export_carry_survives_session_close(
+    spark, sft_post_close_resume_batches, tmp_path
+):
+    """r5 exactness fix: session 1 is fully emitted (watermark passed its
+    end + gap) BEFORE any session-2 turn arrives; the retained carry must
+    still supply turns 2,3,4 as turn 5's context, exactly as the batch
+    whole-conversation frame — and the whole output must equal batch."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sft_export_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_sft_export_stream_job(spark, sft_post_close_resume_batches,
+                                    cfg, available_now=False)
+    drain(q)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    got = got[got["conv_id"] == "conv-y"]
+    want = _sft_batch_reference(spark, sft_post_close_resume_batches)
+    want = want[want["conv_id"] == "conv-y"]
+    t5 = got[got["turn_idx"] == 5]
+    assert len(t5) == 1
+    assert t5["context"].iloc[0] == (
+        "user: and partition it\n"
+        "assistant: PARTITION BY works\n"
+        "user: back again: what about windows"
+    )
+    pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
