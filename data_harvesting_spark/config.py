@@ -62,6 +62,10 @@ class HarvestConfig:
     # W1/W2 — session window gap + event-time watermark delay
     session_gap: str = "30 minutes"
     watermark_delay: str = "10 minutes"
+    # CEP absence pattern: max event-time wait for a call's tool response
+    # before a timeout alert emits (streaming/timeouts.py; batch twin
+    # operators/patterns.py::timeout_matches)
+    response_timeout: str = "30 minutes"
     # roles considered call/response sides of the correlation (J3)
     call_role: str = "assistant"
     response_role: str = "tool"
@@ -137,7 +141,12 @@ def validate_config(
         parse_duration_seconds,
     )
 
-    for field_name in ("session_gap", "watermark_delay", "cap_state_retention"):
+    for field_name in (
+        "session_gap",
+        "watermark_delay",
+        "cap_state_retention",
+        "response_timeout",
+    ):
         val = getattr(cfg, field_name)
         try:
             parse_duration_seconds(val)

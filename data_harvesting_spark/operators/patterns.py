@@ -41,6 +41,70 @@ from pyspark.sql import functions as F
 
 MATCH_COLUMNS = ["conv_id", "fail_idx", "retry_idx", "tool", "outcome"]
 
+TIMEOUT_COLUMNS = ["conv_id", "call_idx", "tool", "call_us", "status", "wait_us"]
+
+
+def timeout_matches(transcripts: DataFrame, timeout_s: float) -> DataFrame:
+    """CEP **absence/timeout** pattern — the negative-pattern sibling of
+    ``failed_retry_matches``: a tool call with no IN-TIME response.
+
+    A *call* is ``role='assistant' AND tool IS NOT NULL`` at turn ``i``
+    with event time ``call_ts``; its *in-time response* is a turn at
+    ``i + 1`` with ``role='tool'`` and ``ts <= call_ts + timeout``. Every
+    call lacking one is a match (reference analog: the harvest loop's
+    forgotten-frame skip when inference produces nothing usable within
+    the frame budget, `/root/reference/services/harvest_service.py:
+    166-214` — here lifted to event time, the CEP absence operator).
+
+    Output per match: ``(conv_id, call_idx, tool, call_us, status,
+    wait_us)`` where ``status`` is ``'late'`` (a tool response exists at
+    ``i+1`` but arrived after the deadline; ``wait_us`` = its actual
+    wait) or ``'absent'`` (no tool response at ``i+1`` at all;
+    ``wait_us`` NULL). All times are exact integer epoch micros — no
+    float leaves the query.
+
+    Scale posture: ONE ``lead`` window over the conv_id partitioning —
+    a single hash exchange of the turn table, no self-join, whole-stage
+    codegen; identical profile to ``failed_retry_matches``. The
+    streaming twin (``streaming/timeouts.py``) emits the same match SET
+    (projected to conv_id/call_idx/tool/call_us) the moment each match
+    is decidable — at response arrival for ``late``, at the event-time
+    watermark passing ``call_ts + timeout`` for unanswered calls.
+    """
+    timeout_us = int(round(timeout_s * 1_000_000))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.lead("turn_idx").over(w).alias("n_idx"),
+        F.lead("role").over(w).alias("n_role"),
+        F.lead("ts").over(w).alias("n_ts"),
+    )
+    calls = seq.where(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    )
+    # null-safe: on the conversation's last turn lead() is NULL and
+    # ~NULL is NULL, which would silently skip the 'absent' branch
+    responded = F.coalesce(
+        (F.col("n_idx") == F.col("turn_idx") + 1)
+        & (F.col("n_role") == "tool"),
+        F.lit(False),
+    )
+    wait = F.unix_micros("n_ts") - F.unix_micros("ts")
+    return calls.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("call_idx"),
+        "tool",
+        F.unix_micros("ts").alias("call_us"),
+        F.when(responded & (wait > timeout_us), F.lit("late"))
+        .when(~responded, F.lit("absent"))
+        .alias("status"),
+        F.when(responded, wait).alias("wait_us"),
+    ).where(F.col("status").isNotNull())
+
 
 def failed_retry_matches(transcripts: DataFrame) -> DataFrame:
     """Batch detector: failure->retry matches over a transcript frame

@@ -71,7 +71,6 @@ _WINDOW_FRONT = [
     "tpch_q1",
     "orders_by_nation",
     "events_user_distinct",
-    "label_translate",
     "crop_renumber",
     "events_sliding_value",
     "tool_args_rollup",
@@ -109,6 +108,10 @@ _WINDOW_TAIL = [
     "rate_sample",
     "value_buckets",
     "exact_count_hist",
+    # rotated out late in round 5 to admit pattern_tool_timeout (the CEP
+    # absence pattern): a broadcast dim-join lookup, driver-green in
+    # rounds 1-3 and judge-green in r4, digest-pinned
+    "label_translate",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

@@ -1122,6 +1122,62 @@ def q_pattern_failed_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return failed_retry_matches(t)
 
 
+# ---------------------------------------------- CEP absence/timeout pattern
+# The negative-pattern sibling of pattern_failed_retry: tool calls with
+# no IN-TIME response (a tool-role turn at call_idx+1 whose event time is
+# within 24h of the call). 'late' = the response exists but missed the
+# deadline; 'absent' = no tool response at call_idx+1 at all. All times
+# exact integer epoch micros. The streaming twin
+# (streaming/timeouts.py) emits the same match set at per-call
+# event-time deadlines — see operators/patterns.py::timeout_matches.
+
+_TIMEOUT_US = 24 * 3600 * 1_000_000  # 24 hours
+
+_TIMEOUT_SQL = _with_t(f"""
+, seq AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         LEAD(turn_idx) OVER w AS n_idx,
+         LEAD(role) OVER w AS n_role,
+         LEAD(ts) OVER w AS n_ts
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+calls AS (
+  SELECT conv_id, turn_idx, tool, ts, n_ts,
+         COALESCE(n_idx = turn_idx + 1 AND n_role = 'tool', FALSE)
+           AS responded
+  FROM seq
+  WHERE role = 'assistant' AND tool IS NOT NULL
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS call_idx,
+       tool,
+       epoch_us(ts) AS call_us,
+       CASE WHEN responded
+                 AND epoch_us(n_ts) - epoch_us(ts) > {_TIMEOUT_US}
+            THEN 'late'
+            WHEN NOT responded THEN 'absent' END AS status,
+       CASE WHEN responded
+            THEN epoch_us(n_ts) - epoch_us(ts) END AS wait_us
+FROM calls
+WHERE (responded AND epoch_us(n_ts) - epoch_us(ts) > {_TIMEOUT_US})
+   OR NOT responded
+""")
+
+
+@register("pattern_tool_timeout", _TIMEOUT_SQL)
+def q_pattern_tool_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence/timeout pattern matches (see comment above and
+    operators/patterns.py::timeout_matches). Scale posture: ONE lead
+    window over the conv_id partitioning — a single hash exchange of
+    the turn table, no self-join; at 100 TB the profile is identical to
+    pattern_failed_retry's."""
+    from data_harvesting_spark.operators.patterns import timeout_matches
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    return timeout_matches(t, _TIMEOUT_US / 1_000_000)
+
+
 # ------------------------------------------------- tool-transition PageRank
 # Graph centrality over the tool-TRANSITION graph: nodes = tools, a
 # directed edge src->dst for every consecutive pair of tool calls inside

@@ -915,6 +915,48 @@ def start_pattern_stream_job(
     return q
 
 
+def start_timeout_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """The batch ``pattern_tool_timeout`` CEP absence query as ONE
+    continuous alert stream: a deadline-driven stateful handler
+    (streaming/timeouts.py) emits ``(conv_id, call_idx, tool, call_us)``
+    the moment a call's lack of an in-time response is decidable — at
+    response arrival for late/non-tool successors, at the event-time
+    watermark passing ``call_ts + response_timeout`` for unanswered
+    calls. No session gap involved: the timer is the per-call deadline,
+    folded onto Spark's one event-time timeout per key (min over pending
+    deadlines). Output flows through the idempotent epoch sink (W7;
+    pinned by the kill-resume test)."""
+    from data_harvesting_spark.config import validate_config
+    from data_harvesting_spark.streaming.sink import write_epoch
+    from data_harvesting_spark.streaming.timeouts import timeout_stream
+
+    validate_config(cfg, streaming_runner="kernel")
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    alerts = timeout_stream(stream, cfg, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, epoch_id, cfg.sink_path)
+
+    writer = (
+        alerts.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
 def latency_pairs(transcripts: DataFrame, watermark_delay: str,
                   max_gap: str = "2 hours") -> DataFrame:
     """Adjacent-turn latency via a (stream-stream-capable) self-join:

@@ -3598,3 +3598,235 @@ def test_sft_export_carry_survives_session_close(
         "user: back again: what about windows"
     )
     pd.testing.assert_frame_equal(_canon_sft(got), _canon_sft(want))
+
+
+# --------------------------------------------- CEP absence/timeout stream
+def test_timeout_matches_batch_semantics(spark):
+    """Batch absence-pattern semantics: in-time -> no match; late ->
+    'late' with the real wait; response hole / non-tool successor /
+    terminal call -> 'absent' with NULL wait. Plan: ONE conv_id
+    exchange."""
+    from data_harvesting_spark.operators.patterns import timeout_matches
+
+    base = pd.Timestamp("2026-07-10 00:00:00")
+
+    def t(mins, secs=0):
+        return base + pd.Timedelta(minutes=mins, seconds=secs)
+
+    rows = [
+        # ok: answered in 30s
+        ("ok", 0, "user", "q", None, t(0)),
+        ("ok", 1, "assistant", "call search", "search", t(0, 30)),
+        ("ok", 2, "tool", "hit", "search", t(1)),
+        # late: answered after 45 min (> 30 min timeout)
+        ("late", 0, "user", "q", None, t(0)),
+        ("late", 1, "assistant", "call sql", "sql", t(0, 30)),
+        ("late", 2, "tool", "rows", "sql", t(45, 30)),
+        # hole: idx 2 dropped at source, idx 3 exists
+        ("hole", 0, "user", "q", None, t(0)),
+        ("hole", 1, "assistant", "call browser", "browser", t(0, 30)),
+        ("hole", 3, "assistant", "giving up", None, t(1)),
+        # interrupt: idx 2 exists but is a user turn
+        ("intr", 0, "user", "q", None, t(0)),
+        ("intr", 1, "assistant", "call calc", "calc", t(0, 30)),
+        ("intr", 2, "user", "never mind", None, t(1)),
+        # terminal: call is the conversation's last turn
+        ("term", 0, "user", "q", None, t(0)),
+        ("term", 1, "assistant", "call python", "python", t(0, 30)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    out = timeout_matches(df, 1800)
+    got = {
+        (r.conv_id, r.call_idx, r.tool, r.status, r.wait_us)
+        for r in out.collect()
+    }
+    assert got == {
+        ("late", 1, "sql", "late", 45 * 60 * 1_000_000),
+        ("hole", 1, "browser", "absent", None),
+        ("intr", 1, "calc", "absent", None),
+        ("term", 1, "python", "absent", None),
+    }
+    # after execution the AQE plan string repeats the exchange in its
+    # "Initial Plan" echo — count the final plan only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+@pytest.fixture(scope="module")
+def timeout_batches(tmp_path_factory):
+    """Bespoke absence-pattern fixture (timeout 30 min, watermark 10 min).
+    Covers: in-time answer (conv-a, no alert), late answer arriving with
+    the response (conv-b1, alert on arrival), deadline firing BEFORE the
+    late answer arrives (conv-b2, exactly one alert; the answer itself is
+    then beyond-watermark and dropped), non-tool successor (conv-c, alert
+    on arrival), terminal unanswered call (conv-d, alert at deadline via
+    timer), response arriving BEFORE its call across files (conv-e, no
+    alert), and an in-time answer delivered beyond the watermark
+    (conv-f: stream alerts at the deadline, batch sees the answer and
+    stays silent — the documented late-data divergence, counted)."""
+    import time as _time
+
+    base = pd.Timestamp("2026-07-10 00:00:00")
+
+    def t(mins, secs=0):
+        return base + pd.Timedelta(minutes=mins, seconds=secs)
+
+    f0 = [
+        ("conv-a", 0, "user", "find it", None, t(0)),
+        ("conv-a", 1, "assistant", "call search", "search", t(0, 30)),
+        ("conv-a", 2, "tool", "hit", "search", t(1)),
+        ("conv-b1", 0, "user", "query", None, t(0)),
+        ("conv-b1", 1, "assistant", "call sql", "sql", t(0, 30)),
+        ("conv-d", 0, "user", "open it", None, t(0)),
+        ("conv-d", 1, "assistant", "call browser", "browser", t(0, 30)),
+        # conv-e: the response lands in this file, its call in the next
+        ("conv-e", 2, "tool", "plot saved", "python", t(2)),
+        ("conv-f", 0, "user", "add", None, t(0)),
+        ("conv-f", 1, "assistant", "call adder", "adder", t(1)),
+    ]
+    f1 = [
+        ("conv-e", 0, "user", "plot", None, t(1)),
+        ("conv-e", 1, "assistant", "call python", "python", t(1, 30)),
+        # conv-b1's answer: 45 min after the call -> late, alert NOW
+        ("conv-b1", 2, "tool", "rows", "sql", t(45, 30)),
+        # conv-c: call interrupted by the user -> absent, alert NOW
+        ("conv-c", 0, "user", "calc", None, t(40)),
+        ("conv-c", 1, "assistant", "call calc", "calc", t(40, 30)),
+        ("conv-c", 2, "user", "never mind", None, t(41)),
+        # conv-b2: unanswered for now; deadline 80.5 min
+        ("conv-b2", 0, "user", "query2", None, t(50)),
+        ("conv-b2", 1, "assistant", "call sql2", "sql", t(50, 30)),
+    ]
+    fw = [
+        # watermark driver: wm -> ~190 min, past every pending deadline
+        ("conv-w", 0, "user", "flush", None, t(200)),
+    ]
+    f3 = [
+        # conv-b2's answer, late by event time AND beyond the watermark:
+        # the alert already fired at the deadline; this row must be
+        # dropped, not double-emitted (batch alerts b2 too — wait > 30m)
+        ("conv-b2", 2, "tool", "rows2", "sql", t(95)),
+        # conv-f's answer was IN TIME by event time (wait 19 min) but is
+        # delivered beyond the watermark: dropped -> stream/batch diverge
+        ("conv-f", 2, "tool", "sum", "adder", t(20)),
+        ("conv-flush", 0, "user", "flush", None, t(300)),
+    ]
+    d = tmp_path_factory.mktemp("timeout_src")
+    now = _time.time()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for i, rows in enumerate([f0, f1, fw, f3]):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _timeout_batch_reference(spark, source_dir: str) -> pd.DataFrame:
+    from data_harvesting_spark.operators.patterns import timeout_matches
+    from data_harvesting_spark.schema import TRANSCRIPT_SCHEMA
+
+    t = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source_dir + "/*.parquet")
+    return (
+        timeout_matches(t, 1800)
+        .select("conv_id", "call_idx", "tool", "call_us")
+        .toPandas()
+    )
+
+
+def _canon_timeout(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(["conv_id", "call_idx"]).reset_index(drop=True)
+    out["call_idx"] = out["call_idx"].astype("int64")
+    out["call_us"] = out["call_us"].astype("int64")
+    return out.reindex(sorted(out.columns), axis=1)
+
+
+def test_timeout_stream_equals_batch(spark, timeout_batches, tmp_path):
+    """Stream alerts == the batch absence-match set (projected to the
+    alert columns), each emitted exactly once — including conv-b2, whose
+    deadline fires before its late answer arrives. conv-f is the
+    documented divergence: its in-time answer was delivered beyond the
+    watermark (dropped + counted), so the stream alerts where batch does
+    not."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_timeout_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_timeout_stream_job(spark, timeout_batches, cfg,
+                                 available_now=False)
+    drain(q)
+    engine_dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p.get("stateOperators") or [])
+    )
+    late_dropped = q.late_counter.value + engine_dropped
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    want = _timeout_batch_reference(spark, timeout_batches)
+
+    base_us = int(pd.Timestamp("2026-07-10 00:00:00").value // 1000)
+
+    def us(mins, secs=0):
+        return base_us + (mins * 60 + secs) * 1_000_000
+
+    expect = {
+        ("conv-b1", 1, "sql", us(0, 30)),
+        ("conv-b2", 1, "sql", us(50, 30)),
+        ("conv-c", 1, "calc", us(40, 30)),
+        ("conv-d", 1, "browser", us(0, 30)),
+    }
+    assert set(map(tuple, want.to_numpy())) == expect
+    # exactly-once on conv-b2 despite deadline + late-answer double path
+    assert (got["conv_id"] == "conv-b2").sum() == 1
+    # the stream additionally alerts conv-f (its answer was late-dropped)
+    assert set(map(tuple, got.to_numpy())) == expect | {
+        ("conv-f", 1, "adder", us(1))
+    }
+    assert late_dropped >= 2  # conv-b2's and conv-f's dropped answers
+
+
+def test_timeout_stream_kill_and_resume(spark, timeout_batches, tmp_path):
+    """W7 on the timeout stream: kill mid-stream, resume from checkpoint,
+    final alert set identical (idempotent epoch sink + versioned state)."""
+    import time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_timeout_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    cfg = _cfg(str(tmp_path))
+    q = start_timeout_stream_job(spark, timeout_batches, cfg,
+                                 available_now=False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sum(p["numInputRows"] > 0 for p in q.recentProgress) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start_timeout_stream_job(spark, timeout_batches, cfg,
+                                  available_now=False)
+    drain(q2)
+    got = read_epoch_sink(spark, cfg.sink_path).toPandas()
+    want = _timeout_batch_reference(spark, timeout_batches)
+    want = pd.concat(
+        [want, got[got["conv_id"] == "conv-f"].iloc[0:0]], ignore_index=True
+    )
+    expect = set(map(tuple, want.to_numpy())) | {
+        t for t in map(tuple, got.to_numpy()) if t[0] == "conv-f"
+    }
+    assert set(map(tuple, got.to_numpy())) == expect
+    assert (got.groupby(["conv_id", "call_idx"]).size() == 1).all()
