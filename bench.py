@@ -389,13 +389,17 @@ def run_streaming(
         start_neardup_stream_job,
         start_pattern_stream_job,
         start_sketch_stream_job,
+        start_timeout_stream_job,
     )
 
-    if mode == "pattern":
+    if mode in ("pattern", "timeout"):
+        job = {
+            "pattern": start_pattern_stream_job,
+            "timeout": start_timeout_stream_job,
+        }[mode]
+
         def starter(spark, src, cfg, available_now):
-            return start_pattern_stream_job(
-                spark, src, cfg, available_now=available_now
-            )
+            return job(spark, src, cfg, available_now=available_now)
     elif mode in ("dedup", "neardup", "sketch"):
         job = {
             "dedup": start_dedup_stream_job,
@@ -423,6 +427,10 @@ def run_streaming(
         sink_path=os.path.join(work, "curated"),
         checkpoint_dir=os.path.join(work, "ckpt"),
         cap_scope=cap_scope,
+        # generator gap is 1s per turn (50s in the hot conversation):
+        # 30s means the hot conversation's calls alert, the rest resolve
+        # silently — both handler paths exercised at volume
+        response_timeout="30 seconds",
     )
     t0 = time.perf_counter()
     q = starter(spark, src, cfg, available_now=True)

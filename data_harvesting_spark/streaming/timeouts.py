@@ -142,9 +142,23 @@ def make_timeout_handler(cfg: HarvestConfig, late_counter=None):
             else:
                 still.append((idx, tool, call_us))
 
-        # prune: a pool turn with ts < watermark can no longer answer any
-        # future call (that call's ts <= the turn's ts would make it late)
-        pool = {i: v for i, v in pool.items() if v[1] >= wm_us}
+        # prune — two independent rules:
+        # (1) watermark: a pool turn with ts < watermark can no longer
+        #     answer any future call (that call's ts <= the turn's ts
+        #     would make it late);
+        # (2) settled predecessor: turn i only ever resolves the call at
+        #     i-1. If i-1 is known at this invocation (in the pool or a
+        #     new row) and is NOT still pending, its resolution already
+        #     happened above — row i is dead weight. Contiguous turns
+        #     arrive together, so this collapses the pool to range
+        #     boundaries + answers to still-open calls, instead of the
+        #     whole watermark horizon.
+        still_idx = {i for i, _, _ in still}
+        pool = {
+            i: v
+            for i, v in pool.items()
+            if v[1] >= wm_us and ((i - 1) not in pool or (i - 1) in still_idx)
+        }
 
         if still or pool:
             state.update(
