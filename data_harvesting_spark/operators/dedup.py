@@ -58,26 +58,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams of the normalized text.
 
-    Built with posexplode + window-lead so the identical formulation runs
-    in the DuckDB oracle.
+    Built entirely in-row: ``transform`` over word positions builds the
+    n-grams and ``array_distinct`` dedups them BEFORE the explode — a
+    (doc_id, shingle) duplicate can only occur within one document, so
+    per-row dedup is exact and the plan needs ZERO exchanges (the old
+    posexplode + window-lead + cross-row distinct formulation shuffled
+    and sorted the whole exploded words table twice). Every shingle
+    consumer (MinHash/LSH, Jaccard, SimHash, incremental dedup, HLL)
+    inherits the saving; at 100 TB the exploded words table is ~10× the
+    corpus, so these were the largest avoidable shuffles in the family.
     """
-    words = normalize_docs(documents).select(
-        "doc_id", F.posexplode(F.split("norm_text", " ")).alias("pos", "w")
+    # project the words array FIRST: split() referenced repeatedly inside
+    # the Generate expression is re-evaluated per reference (no CSE inside
+    # the generator) — measured 3× slower without this projection
+    d = normalize_docs(documents).select(
+        "doc_id", F.split("norm_text", " ").alias("_words")
     )
-    if n == 1:  # unigram shingles: the distinct words themselves, no window
-        return words.select("doc_id", F.col("w").alias("shingle")).distinct()
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    leads = words.select(
-        "doc_id",
-        "w",
-        *[F.lead("w", i).over(wnd).alias(f"_w{i}") for i in range(1, n)],
-    )
-    cols = [F.col("w")] + [F.col(f"_w{i}") for i in range(1, n)]
-    return (
-        leads.where(F.col(f"_w{n-1}").isNotNull())
-        .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
-        .distinct()
-    )
+    words = F.col("_words")
+    if n == 1:  # unigram shingles: the distinct words themselves
+        arr = F.array_distinct(words)
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+        # sequence(1, k) is DESCENDING for k < 1 — guard short docs
+        arr = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+            F.slice(words, 1, 0)
+        )
+    return d.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
