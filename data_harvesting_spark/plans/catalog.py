@@ -69,7 +69,6 @@ _WINDOW_FRONT = [
     "doc_lang_id",
     "harvest_rates_tool",
     "tpch_q1",
-    "orders_by_nation",
     "events_user_distinct",
     "crop_renumber",
     "events_sliding_value",
@@ -88,6 +87,12 @@ _WINDOW_FRONT = [
     "group_sample_k",       # derived prefix width
     "doc_badwords",         # blocklist_counts dispatch
     "sft_pairs",            # sft_pairs_frame context_budget refactor
+    "minhash_lsh_dups",     # in-row word_shingles rewrite (headline
+                            # consumer; the other tail consumers of the
+                            # same operator — hll_distinct_shingles,
+                            # shingle_sample_bottomk, hll_source_overlap —
+                            # are r4-driver-green and re-verified in this
+                            # round's committed full sweep)
     # flagship pair — always inside the window
     "curate_pairs",
     "training_export",
@@ -131,7 +136,9 @@ _WINDOW_TAIL = [
     "role_pivot",
     "dpo_pairs",
     "doc_length_band",
-    "minhash_lsh_dups",
+    # swapped out for minhash_lsh_dups (front, changed plan): last
+    # driver row r1-3, trivial dim join, digest-pinned + swept
+    "orders_by_nation",
     "embedding_clusters",
     "embedding_kmeans_k2",
     "embedding_elbow_k",
