@@ -68,8 +68,6 @@ _WINDOW_FRONT = [
     "doc_quality",
     "doc_lang_id",
     "harvest_rates_tool",
-    "tpch_q1",
-    "events_user_distinct",
     "crop_renumber",
     "events_sliding_value",
     "tool_args_rollup",
@@ -93,6 +91,11 @@ _WINDOW_FRONT = [
                             # shingle_sample_bottomk, hll_source_overlap —
                             # are r4-driver-green and re-verified in this
                             # round's committed full sweep)
+    # brand-new late in round 5 — never driver-checked, must be in the
+    # window (tpch_q1 + events_user_distinct rotated to tail to make
+    # room: both r1-4 driver-green, plans untouched, digest-pinned)
+    "events_asof_attribution",
+    "events_error_followups",
     # flagship pair — always inside the window
     "curate_pairs",
     "training_export",
@@ -139,6 +142,10 @@ _WINDOW_TAIL = [
     # swapped out for minhash_lsh_dups (front, changed plan): last
     # driver row r1-3, trivial dim join, digest-pinned + swept
     "orders_by_nation",
+    # swapped out for the new temporal-join queries: driver-green
+    # through r4, untouched pushdown-agg plans, digest-pinned + swept
+    "tpch_q1",
+    "events_user_distinct",
     "embedding_clusters",
     "embedding_kmeans_k2",
     "embedding_elbow_k",

@@ -406,3 +406,111 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_events"),
         F.round(F.sum(F.col("value") * weight), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------- as-of join
+@register(
+    "events_asof_attribution",
+    """
+WITH clicks AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS event_id,
+         max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, c.event_id AS click_event_id,
+       c.value AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic backward AS-OF join (`operators/temporal.py::asof_join`):
+    each purchase is attributed to the user's latest click at-or-before
+    it (NULLs when the user never clicked before buying) — the
+    table-to-table generalization of J3's in-transcript correlation.
+
+    The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
+    implementation of the same semantics — not a re-transcription of the
+    Spark plan. Ties among same-timestamp clicks resolve to the greatest
+    event_id in both engines (the oracle's max_by pre-reduce, the
+    operator's struct-max tiebreak), so the compare is deterministic even
+    on fixtures with timestamp collisions.
+
+    Scale posture: merge formulation — ONE exchange on user_id shared by
+    both inputs, a running struct-max window, no range self-join and no
+    BNLJ (plan-asserted in tests); right-side payload rides the struct,
+    so no join back to fetch click columns."""
+    from data_harvesting_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("_m"))
+        .select(
+            "user_id", "ts",
+            F.col("_m.event_id").alias("event_id"),
+            F.col("_m.value").alias("value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"],
+        right_cols=["event_id", "value"], right_order="event_id",
+        prefix="click_",
+    )
+
+
+# ---------------------------------------------------------------- range join
+@register(
+    "events_error_followups",
+    """
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(count(f.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(f.value), 0), 4) AS follow_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 30 MINUTE
+GROUP BY e.event_id, e.user_id, e.ts
+""",
+)
+def q_events_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (`operators/temporal.py::range_join`): for
+    every error event, how much same-user activity follows within 30
+    minutes (count + value sum; zero rows kept) — the blast-radius /
+    impact query shape.
+
+    Scale posture: bucketed interval join — left rows explode to exactly
+    2 fixed-width time buckets, the join is a plain equi-join on
+    (user_id, bucket) with the exact interval predicate as a post-filter
+    (never a BNLJ, plan-asserted), candidates bounded by bucket
+    co-residency. The zero-match join-back keys on ~|errors| rows, not
+    the pair table. The 4-decimal rounding absorbs cross-engine
+    float-sum-order noise (values are 2-decimal, ≤dozens per group)."""
+    from data_harvesting_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join(
+        errors, ev.select("user_id", "ts", "event_id", "value"),
+        on=["user_id"], lower_us=0, upper_us=30 * 60 * 1_000_000,
+    )
+    agg = pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
+        F.count("*").alias("_n"),
+        F.sum("r_value").alias("_v"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_follow"),
+        F.round(F.coalesce(F.col("_v"), F.lit(0.0)), 4).alias("follow_value"),
+    )

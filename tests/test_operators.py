@@ -2126,3 +2126,165 @@ def test_ivfpq_refine_recall_beats_adc(spark):
     # exact scores rank the output: within each query, cosine descending
     s = refined.sort_values(["query_id", "rank"])
     assert (s.groupby("query_id")["cosine"].diff().dropna() <= 1e-9).all()
+
+
+# ------------------------------------------------------------ temporal joins
+def _temporal_fixture(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [
+            (1, 100, T(10), 5.0),   # click at 8 before it
+            (2, 100, T(20), 6.0),   # clicks at 8 and 20 (tie with self? no: right ts 20 too)
+            (3, 200, T(30), 7.0),   # user 200 never clicked
+            (4, 300, T(5), 8.0),    # click strictly after -> no match
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, T(8), 1.0),
+            (12, 100, T(20), 2.0),   # equal-ts match for left event 2
+            (13, 100, T(20), 3.0),   # tie on ts: greater event_id wins
+            (14, 300, T(9), 4.0),    # after left event 4's ts=5
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left row per
+    key; NULLs when none; equal timestamps match when strict=False and
+    don't when strict=True; ties resolve to the greatest right_order."""
+    from data_harvesting_spark.operators.temporal import asof_join
+
+    left, right = _temporal_fixture(spark)
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"],
+            right_cols=["event_id", "value"], right_order="event_id",
+            prefix="click_",
+        ).collect()
+    }
+    assert out[1]["click_event_id"] == 11 and out[1]["click_value"] == 1.0
+    # equal ts included, tie broken by greatest event_id (13 over 12)
+    assert out[2]["click_event_id"] == 13 and out[2]["click_value"] == 3.0
+    assert out[3]["click_event_id"] is None and out[3]["click_ts"] is None
+    assert out[4]["click_event_id"] is None
+
+    strict = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"],
+            right_cols=["event_id", "value"], right_order="event_id",
+            prefix="click_", strict=True,
+        ).collect()
+    }
+    # strict: the ts=20 clicks no longer match left event 2 -> falls back
+    # to the ts=8 click
+    assert strict[2]["click_event_id"] == 11
+    assert strict[1]["click_event_id"] == 11
+
+
+def test_asof_join_tolerance_and_plan(spark):
+    """tolerance_us nulls out stale matches; the plan is the merge
+    formulation — exactly ONE exchange (the user_id window) and no join
+    operator of any kind."""
+    from data_harvesting_spark.operators.temporal import asof_join
+
+    left, right = _temporal_fixture(spark)
+    tol = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on=["user_id"],
+            right_cols=["event_id", "value"], right_order="event_id",
+            prefix="click_", tolerance_us=1_000_000,
+        ).collect()
+    }
+    # left 1 at ts=10, click at ts=8: older than 1s tolerance -> nulled
+    assert tol[1]["click_event_id"] is None
+    # left 2 at ts=20, click at ts=20: within tolerance
+    assert tol[2]["click_event_id"] == 13
+
+    plan = (
+        asof_join(left, right, on=["user_id"],
+                  right_cols=["event_id", "value"], right_order="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-check against pandas.merge_asof on a generated fixture
+    (unique right timestamps per key, so tie rules don't diverge)."""
+    import pandas as pd
+
+    from data_harvesting_spark.operators.temporal import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame({
+        "event_id": range(40),
+        "user_id": [i % 5 for i in range(40)],
+        "ts": [base + pd.Timedelta(seconds=7 * i + (i % 3)) for i in range(40)],
+    })
+    rpdf = pd.DataFrame({
+        "rid": range(100, 125),
+        "user_id": [i % 5 for i in range(25)],
+        "ts": [base + pd.Timedelta(seconds=11 * i) for i in range(25)],
+    })
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id")
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf).withColumnRenamed("ts", "rts"),
+            on=["user_id"], left_ts="ts", right_ts="rts",
+            right_cols=["rid"], prefix="m_",
+        )
+        .toPandas().sort_values("event_id")
+    )
+    assert list(got["m_rid"].fillna(-1)) == list(want["rid"].fillna(-1))
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Interval join: (left_ts + lower, left_ts + upper] per key —
+    strictly-after lower edge, inclusive upper edge, cross-bucket matches
+    included; the plan is an equi-join (never BNLJ/cartesian)."""
+    import datetime as dt
+
+    from data_harvesting_spark.operators.temporal import range_join
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, 9, T(0)), (2, 9, T(40))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (21, 9, T(0)),    # == left 1 ts: excluded (strict lower)
+            (22, 9, T(10)),   # in (0, 30] of left 1
+            (23, 9, T(30)),   # upper edge inclusive of left 1
+            (24, 9, T(31)),   # out for left 1, before left 2
+            (25, 9, T(70)),   # upper edge of left 2 (40+30)
+            (26, 8, T(10)),   # other key
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    pairs = range_join(
+        left, right, on=["user_id"], lower_us=0, upper_us=30_000_000
+    )
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"]) for r in pairs.collect()
+    )
+    assert got == [(1, 22), (1, 23), (2, 25)], got
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
