@@ -181,3 +181,60 @@ def range_join(
         )
         .drop("_bucket", "_l_us", "_r_us")
     )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    bucket_seconds: int = 900,
+    aggs: list | None = None,
+    locf: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup with **gap filling** — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape: aggregate per
+    (keys, fixed-width time bucket), then emit EVERY bucket of the
+    table's span for every key, with missing buckets present as rows
+    (aggregates NULL, or carried forward for the ``locf`` columns).
+
+    ``aggs`` — aliased aggregate Columns (default ``count(*) as n``);
+    ``locf`` — output columns to last-observation-carry-forward across
+    gap rows (leading gaps before a key's first observation stay NULL).
+    Emits ``bucket_start_s`` (bigint epoch seconds) rather than a
+    timestamp: engine-portable and hash-stable across timezone models.
+
+    Scale posture: the span is a 1-row global aggregate broadcast into
+    the per-key grid (the deliberate 1-row-frame shape — NOT a window
+    over the data side); the grid is built in-row by ``sequence`` +
+    ``explode``, sized |keys| × span/bucket — independent of the fact
+    table's row count. One exchange for the rollup, one for the grid
+    join, one sort for the LOCF window.
+    """
+    if aggs is None:
+        aggs = [F.count("*").alias("n")]
+    locf = locf or []
+    b_us = int(bucket_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucketed = df.withColumn("_bkt", F.floor(us / F.lit(b_us)))
+    actual = bucketed.groupBy(*keys, "_bkt").agg(*aggs)
+    span = bucketed.groupBy().agg(
+        F.min("_bkt").alias("_lo"), F.max("_bkt").alias("_hi")
+    )
+    grid = (
+        df.select(*keys).distinct()
+        .crossJoin(F.broadcast(span))
+        .select(*keys, F.explode(F.sequence("_lo", "_hi")).alias("_bkt"))
+    )
+    out = grid.join(actual, [*keys, "_bkt"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.select(
+        *keys,
+        (F.col("_bkt") * bucket_seconds).cast("bigint").alias("bucket_start_s"),
+        *[c for c in out.columns if c not in set(keys) | {"_bkt"}],
+    )

@@ -69,7 +69,6 @@ _WINDOW_FRONT = [
     "doc_lang_id",
     "harvest_rates_tool",
     "crop_renumber",
-    "events_sliding_value",
     "tool_args_rollup",
     "mode_role",
     "first_last_span",
@@ -96,6 +95,7 @@ _WINDOW_FRONT = [
     # room: both r1-4 driver-green, plans untouched, digest-pinned)
     "events_asof_attribution",
     "events_error_followups",
+    "events_gapfill",
     # flagship pair — always inside the window
     "curate_pairs",
     "training_export",
@@ -146,6 +146,9 @@ _WINDOW_TAIL = [
     # through r4, untouched pushdown-agg plans, digest-pinned + swept
     "tpch_q1",
     "events_user_distinct",
+    # swapped out for events_gapfill: driver-green through r4,
+    # untouched sliding-window plan, digest-pinned + swept
+    "events_sliding_value",
     "embedding_clusters",
     "embedding_kmeans_k2",
     "embedding_elbow_k",

@@ -514,3 +514,60 @@ def q_events_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_follow"),
         F.round(F.coalesce(F.col("_v"), F.lit(0.0)), 4).alias("follow_value"),
     )
+
+
+# ------------------------------------------------------------- gap-fill rollup
+@register(
+    "events_gapfill",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS bkt,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS v_sum,
+         round(avg(value), 6) AS v_avg
+  FROM events GROUP BY 1, 2
+), span AS (SELECT min(bkt) AS lo, max(bkt) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, gs.bkt
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS bkt FROM span) gs
+)
+SELECT g.event_type, g.bkt * 900 AS bucket_start_s,
+       coalesce(b.n, 0) AS n, round(coalesce(b.v_sum, 0), 4) AS v_sum,
+       last_value(b.v_avg IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bkt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+FROM grid g LEFT JOIN b USING (event_type, bkt)
+""",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with gap filling
+    (`operators/temporal.py::time_bucket_gapfill`): 15-minute activity
+    buckets per event_type over the table's full span, EVERY bucket
+    present — empty ones as explicit zero rows with the per-bucket mean
+    carried forward (TimescaleDB `time_bucket_gapfill` + `locf`
+    semantics; leading gaps before a type's first observation stay
+    NULL). ~50% of the fixture's grid rows are gap-filled.
+
+    Scale posture: the grid is |event_types| × span/bucket — built from
+    a 1-row broadcast span frame + in-row sequence/explode, independent
+    of the fact-table row count; the rollup itself is one hash agg. The
+    4/6-decimal rounding happens BEFORE the LOCF carry, so both engines
+    carry bit-identical values."""
+    from data_harvesting_spark.operators.temporal import time_bucket_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_bucket_gapfill(
+        ev, keys=["event_type"], ts_col="ts", bucket_seconds=900,
+        aggs=[
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("v_sum"),
+            F.round(F.avg("value"), 6).alias("locf_avg"),
+        ],
+        locf=["locf_avg"],
+    )
+    return out.select(
+        "event_type", "bucket_start_s",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.coalesce(F.col("v_sum"), F.lit(0.0)), 4).alias("v_sum"),
+        "locf_avg",
+    )

@@ -2288,3 +2288,45 @@ def test_range_join_semantics_and_plan(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_time_bucket_gapfill_semantics(spark):
+    """Gap rows materialize for every key across the GLOBAL span; counts
+    fill to the caller's coalesce; LOCF carries the last non-null value
+    across gaps but leaves leading gaps (before a key's first
+    observation) NULL."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_harvesting_spark.operators.temporal import time_bucket_gapfill
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    df = spark.createDataFrame(
+        [
+            ("a", T(0), 10.0),   # bucket 0
+            ("a", T(1), 20.0),   # bucket 0
+            ("a", T(45), 30.0),  # bucket 3 -> gaps at 1, 2
+            ("b", T(30), 40.0),  # bucket 2 -> leading gaps at 0, 1
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {
+        (r["k"], r["bucket_start_s"]): r
+        for r in time_bucket_gapfill(
+            df, keys=["k"], ts_col="ts", bucket_seconds=900,
+            aggs=[F.count("*").alias("n"),
+                  F.round(F.avg("v"), 6).alias("avg_v")],
+            locf=["avg_v"],
+        ).collect()
+    }
+    base = 1704067200  # 2024-01-01 UTC
+    # full grid: 2 keys x 4 buckets
+    assert len(out) == 8
+    a = [out[("a", base + 900 * i)] for i in range(4)]
+    assert [r["n"] for r in a] == [2, None, None, 1]
+    assert [r["avg_v"] for r in a] == [15.0, 15.0, 15.0, 30.0]  # LOCF
+    b = [out[("b", base + 900 * i)] for i in range(4)]
+    assert [r["n"] for r in b] == [None, None, 1, None]
+    # leading gaps stay NULL, trailing gap carries
+    assert [r["avg_v"] for r in b] == [None, None, 40.0, 40.0]
