@@ -77,12 +77,7 @@ def host_idle_probe(seconds: float = 1.0) -> dict:
     does too)."""
     a = _cpu_sample()
     time.sleep(seconds)
-    b = _cpu_sample()
-    dt = (b[0] - a[0]) or 1
-    return {
-        "idle_pct": round(100 * (b[1] - a[1]) / dt, 1),
-        "steal_pct": round(100 * (b[2] - a[2]) / dt, 1),
-    }
+    return _host_window(a, _cpu_sample())
 
 
 def _host_window(a: tuple, b: tuple) -> dict:

@@ -167,6 +167,9 @@ def blocklist_hits(col: Column | str, words: list[str] | None = None) -> Column:
     any ANSI engine, same machinery as quality_features."""
     if words is None:
         words = DEMO_BLOCKLIST
+    # a blocklist is a set: dedupe so a repeated entry counts once, the
+    # same rule the join path applies via its distinct dimension
+    words = sorted(set(words))
     c = F.col(col) if isinstance(col, str) else col
     spaced = F.replace(normalize_text(c), F.lit(" "), F.lit("  "))
     padded = F.concat(F.lit(" "), spaced, F.lit(" "))

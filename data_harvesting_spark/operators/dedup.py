@@ -208,20 +208,43 @@ def minhash_sig_pairs(
     corpus-side candidates — and it is deterministic and order-free, so
     the stream over any epoch split equals the batch over the union.
     """
-    bands = bands_of_signatures(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
+    cand = band_candidates(bands_of_signatures(sig))
+    return sig_verify_pairs(cand, sig, threshold)
+
+
+def band_candidates(
+    bands: DataFrame, other: DataFrame | None = None
+) -> DataFrame:
+    """Distinct id-ordered (doc_a < doc_b) candidate pairs from band-
+    bucket collisions — THE single definition of the banding edge rule,
+    shared by ``minhash_sig_pairs`` and the streaming incremental-
+    components job (new-vs-new and new-vs-prior legs alike), so a change
+    to the collision predicate cannot drift between batch and stream.
+
+    One frame: self-join within ``bands``. Two frames: cross collisions
+    between ``bands`` and ``other`` (pairs ordered by least/greatest)."""
+    a = bands.alias("a")
+    if other is None:
+        pairs = a.join(
+            bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return sig_verify_pairs(cand, sig, threshold)
+    else:
+        pairs = a.join(
+            other.alias("p"),
+            (F.col("a.band") == F.col("p.band"))
+            & (F.col("a.band_sig") == F.col("p.band_sig"))
+            & (F.col("a.doc_id") != F.col("p.doc_id")),
+        ).select(
+            F.least("a.doc_id", "p.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "p.doc_id").alias("doc_b"),
+        )
+    return pairs.distinct()
 
 
 def sig_verify_pairs(

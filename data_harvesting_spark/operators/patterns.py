@@ -155,7 +155,9 @@ def failed_retry_matches(transcripts: DataFrame) -> DataFrame:
 
 
 def _blank(x) -> bool:
-    return x is None or (isinstance(x, float) and pd.isna(x)) or not str(x).strip()
+    # strip(' ') not strip(): Spark/DuckDB trim() removes only spaces, so a
+    # tab/newline-only response is NOT blank in the batch rule either
+    return x is None or (isinstance(x, float) and pd.isna(x)) or not str(x).strip(" ")
 
 
 def _isnull(x) -> bool:

@@ -873,7 +873,11 @@ def ivfpq_refine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    qvecs = embeddings.select(
+    # query vectors come from `queries`, NOT the corpus: ivfpq_topk
+    # accepts external queries whose ids need not exist in (or may
+    # collide with) corpus ids, and the refine stage must score the
+    # same vectors the ADC stage probed with
+    qvecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )

@@ -62,7 +62,10 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c not in set(on) | {right_ts}
         ]
-    tiebreak = right_order or right_cols[0]
+    # payload-free right (key + ts only): tie-break on the timestamp
+    # itself — rows tied on ts are then indistinguishable, and no payload
+    # column means no observable difference
+    tiebreak = right_order or (right_cols[0] if right_cols else right_ts)
     carry = [c for c in right_cols if c != tiebreak]
 
     # right rows sort BEFORE left rows at an equal timestamp for the

@@ -909,27 +909,51 @@ def sequence_pack_frame(
     sharded = toks.withColumn(
         "shard", F.floor(F.col("doc_id") / F.lit(shard_size))
     )
+    # Subdivide hot shards at id QUANTILES, not uniform id-range cuts: a
+    # shard whose rows cluster in a narrow id subrange (block-allocated
+    # ids) would put every row in one range-cut sub, defeating the
+    # max_shard_rows bound. A fixed 64-point approx-quantile grid per
+    # shard (one constant-argument percentile_approx in the same
+    # aggregate) gives ~cnt/nsub rows per sub regardless of id layout;
+    # nsub caps at the grid width (a >64x overloaded shard would need a
+    # wider constant grid). Boundary thresholds are monotone in doc_id,
+    # so (shard, sub, doc_id) order still equals doc_id order.
+    _GRID = [i / 64 for i in range(1, 64)]
     splits = (
         sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.percentile_approx("doc_id", _GRID, 10_000).alias("qs"),
+        )
         .select(
             "shard",
-            F.ceil(F.col("cnt") / F.lit(max_shard_rows))
+            "qs",
+            F.least(
+                F.ceil(F.col("cnt") / F.lit(max_shard_rows)), F.lit(64)
+            )
             .cast("int")
             .alias("nsub"),
+        )
+        .select(
+            "shard",
+            F.when(F.col("nsub") <= 1, F.array().cast("array<bigint>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nsub") - 1),
+                    lambda j: F.element_at(
+                        "qs", (j * 64 / F.col("nsub")).cast("int")
+                    ).cast("bigint"),
+                )
+            )
+            .alias("bounds"),
         )
     )
     sharded = sharded.join(F.broadcast(splits), "shard").withColumn(
         "sub",
-        F.least(
-            F.floor(
-                (F.col("doc_id") - F.col("shard") * F.lit(shard_size))
-                * F.col("nsub")
-                / F.lit(shard_size)
-            ),
-            (F.col("nsub") - 1).cast("bigint"),
+        F.size(
+            F.filter("bounds", lambda b: F.col("doc_id") > b)
         ).cast("int"),
-    )
+    ).drop("bounds")
     shard_tok = sharded.groupBy("shard", "sub").agg(
         F.sum("n_tokens").alias("tok")
     )

@@ -1255,6 +1255,12 @@ def q_tool_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = calls.select("tool").distinct()
     outs = edges.groupBy("src").agg(F.sum("cnt").alias("out_w"))
     n = nodes.count()  # bounded: the tool dimension
+    if n == 0:
+        # no tool calls at all: empty graph, empty ranking (the SQL
+        # oracle's CTEs are likewise empty) — avoid the 1/0 below
+        return calls.select(
+            "tool", F.lit(0.0).alias("pagerank")
+        ).limit(0)
     pr = nodes.select("tool", F.lit(1.0 / n).alias("pr"))
     for _ in range(3):
         contrib = (

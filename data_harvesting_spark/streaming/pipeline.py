@@ -1977,6 +1977,7 @@ def start_components_stream_job(
     sibling job. Each epoch emits (epoch, n_dup_nodes, n_clusters).
     """
     from data_harvesting_spark.operators.dedup import (
+        band_candidates,
         bands_of_signatures,
         connected_components,
         minhash_signatures,
@@ -2003,34 +2004,14 @@ def start_components_stream_job(
                 F.col("component"),
             )
 
+        # one edge-rule definition: both legs delegate the band-collision
+        # predicate to dedup.band_candidates (shared with the oracle-
+        # checked sig_pair_dups batch query)
         nb = bands_of_signatures(new_sigs)
-        a, b = nb.alias("a"), nb.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_sig") == F.col("b.band_sig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-        )
+        cand = band_candidates(nb)
         if prior_sigs is not None:
             pb = bands_of_signatures(prior_sigs)
-            cross = (
-                nb.alias("a")
-                .join(
-                    pb.alias("p"),
-                    (F.col("a.band") == F.col("p.band"))
-                    & (F.col("a.band_sig") == F.col("p.band_sig"))
-                    & (F.col("a.doc_id") != F.col("p.doc_id")),
-                )
-                .select(
-                    F.least("a.doc_id", "p.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "p.doc_id").alias("doc_b"),
-                )
-            )
-            cand = cand.unionByName(cross)
+            cand = cand.unionByName(band_candidates(nb, pb))
             all_sigs = prior_sigs.unionByName(new_sigs)
         else:
             all_sigs = new_sigs

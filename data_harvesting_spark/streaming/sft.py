@@ -36,6 +36,7 @@ for text SFT pairs.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -91,11 +92,16 @@ def _line(role, text) -> str:
 
 def _ws_tokens_py(text) -> int:
     """Python twin of the batch whitespace token count (0 for
-    empty/null) — shared rule with ``context_window_trim``."""
+    empty/null) — shared rule with ``context_window_trim``. Mirrors the
+    JVM exactly: trim() strips spaces only (not tabs/newlines), the
+    split pattern is Java ``\\s+`` (ASCII whitespace, not unicode), and
+    split keeps leading/trailing empty tokens (Spark split limit=-1)."""
     if text is None or (isinstance(text, float) and pd.isna(text)):
         return 0
-    t = str(text).strip()
-    return len(t.split()) if t else 0
+    t = str(text).strip(" ")
+    if not t:
+        return 0
+    return len(re.split(r"[ \t\n\x0b\f\r]+", t))
 
 
 def sft_pairs_pdf(
@@ -256,6 +262,12 @@ def make_sft_handler(
         else:
             carry = _EMPTY_CARRY
             buf = new[["conv_id", "turn_idx", "role", "text", "ts"]]
+        if len(buf) == 0:
+            # late-only batch on a carry-only conversation: leave the carry
+            # and its retention timeout untouched (resetting it here would
+            # evict the carry at the next watermark tick, truncating the
+            # context of a later non-late resumption)
+            return
 
         wm_ms = state.getCurrentWatermarkMs()
         sessions = split_sessions(buf, gap_s)
