@@ -242,3 +242,83 @@ def bottomk_sample(items: DataFrame, k: int = 64) -> DataFrame:
         .orderBy("h", "term")
         .limit(k)
     )
+
+
+_HLL_ALPHAS = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    return _HLL_ALPHAS.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_numerator(bits: int) -> float:
+    """alpha_m * m^2 scaled by the integer harmonic-sum scale 2^(61-bits)
+    — one double literal, injected verbatim into Spark and the oracle."""
+    m = 1 << bits
+    return hll_alpha(m) * m * m * float(1 << (61 - bits))
+
+
+def hll_registers_grouped(
+    items: DataFrame, keys: list[str], *, bits: int = 10
+) -> DataFrame:
+    """Per-group HLL registers over a ``term`` column: ``keys + (bucket,
+    m_j)``. The generalization of ``hll_registers`` that makes the
+    sketch's MERGE law usable as a windowing primitive: registers for
+    any union of groups are the bucket-wise MAX of the groups' registers,
+    so per-day sketches roll into per-week windows without touching raw
+    rows again. Same 60-bit md5 split; ``bits`` register-index bits keep
+    the exact-integer harmonic sum bounded at m * 2^(61-bits) = 2^61."""
+    m = 1 << bits
+    shift = 61 - bits
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = items.select(
+        *keys,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.shiftright(h, bits).alias("rem"),
+    ).select(
+        *keys,
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(shift))
+        .otherwise(F.lit(shift) - F.length(F.bin("rem")))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy(*keys, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate_grouped(
+    regs: DataFrame, keys: list[str], *, bits: int = 10
+) -> DataFrame:
+    """Collapse grouped registers to per-group raw-range estimates —
+    exact-int harmonic sums, ONE double division per group at the end
+    (the same determinism contract as ``hll_summary``)."""
+    m = 1 << bits
+    shift = 61 - bits
+    num = hll_numerator(bits)
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - m_j)"))
+            .cast("bigint")
+            .alias("s_present"),
+        )
+        .select(
+            *keys,
+            "registers_used",
+            (
+                F.col("s_present")
+                + (F.lit(m) - F.col("registers_used"))
+                * F.lit(1 << shift).cast("bigint")
+            ).alias("s_scaled"),
+        )
+        .select(
+            *keys,
+            "registers_used",
+            "s_scaled",
+            F.round(F.lit(num) / F.col("s_scaled"), 2).alias("hll_estimate"),
+        )
+    )

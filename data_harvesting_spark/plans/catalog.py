@@ -49,8 +49,6 @@ _WINDOW_FRONT = [
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
     "stratified_sample",
     "tfidf_top_terms",
-    "dataset_mix",
-    "shuffle_order",
     "doc_repetition",
     "doc_decontaminate",
     "dedup_components",
@@ -70,12 +68,9 @@ _WINDOW_FRONT = [
     "harvest_rates_tool",
     "crop_renumber",
     "tool_args_rollup",
-    "mode_role",
     "first_last_span",
-    "topk_tools",
     "inter_turn_latency",
     "exists_forall",
-    "doc_fingerprint",
     "doc_redact",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
@@ -102,6 +97,16 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
+    # rotated out in the round-5 continuation to admit the five new
+    # never-checked queries (setsim_prefix_dups, tpch_q18,
+    # orders_priority_semi, scd2_user_state, hll_sliding_users): all
+    # five of these are trivial projections/rollups with r1-3 driver
+    # rows, digest-pinned + swept every round
+    "dataset_mix",
+    "shuffle_order",
+    "mode_role",
+    "topk_tools",
+    "doc_fingerprint",
     # rotated back out in round 5 to make room for the three new
     # queries (doc_bm25_terms, group_sample_weighted, events_ewma) —
     # all three are pure projections/window rollups with r1-3 driver

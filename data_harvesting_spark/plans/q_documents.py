@@ -79,6 +79,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+# The prefix-filtered exact set-similarity join shares ngram_jaccard's
+# oracle VERBATIM: same semantics (exact Jaccard >= 0.5 over distinct
+# 3-gram sets), different algorithm (rare-first prefix filtering instead
+# of the full shingle self-join) — a divergence in either direction is a
+# bug in exactly one of the two plans.
+@register("setsim_prefix_dups", _JACCARD_SQL)
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via prefix filtering (All-Pairs /
+    PPJoin family) — the anti-skew exact scale path beside MinHash."""
+    from data_harvesting_spark.operators.dedup import setsim_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return setsim_prefix_pairs(docs, n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------- minhash LSH
 # Engine-portable shingle ids via the first 60 md5 bits — identical per-row
 # expression in both engines, NO global sort (the r2 rank-mode dense_rank

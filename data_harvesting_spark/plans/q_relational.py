@@ -4,7 +4,7 @@ the general OLAP surface (scan pushdown, broadcast joins, windowed aggs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_harvesting_spark.plans.catalog import register
@@ -570,4 +570,270 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.round(F.coalesce(F.col("v_sum"), F.lit(0.0)), 4).alias("v_sum"),
         "locf_avg",
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q18
+@register(
+    "tpch_q18",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+       round(o.o_totalprice, 2) AS total_price,
+       round(b.total_qty, 4) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: HAVING on a fact
+    aggregate, joined back through orders to the customer dim, top-100.
+
+    Scale shape: the lineitem agg is ONE hash aggregate (map-side
+    combine); the HAVING filter leaves a tiny qualifying-order set that
+    is explicitly broadcast into orders (no orders shuffle), customer
+    joins broadcast the already-top-filtered rows' keys only after the
+    orders join cuts cardinality; the top-100 is TakeOrdered
+    (per-partition heap + 100-row driver merge), never a global sort.
+    Per-order quantity sums are groupwise-small doubles, rounded for
+    hash stability like tpch_q1."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty_raw"))
+        .where(F.col("total_qty_raw") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty_raw", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q4-ish
+@register(
+    "orders_priority_semi",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+)
+def q_orders_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: order-priority counts for orders with at
+    least one high-quantity line — the canonical left-SEMI join (never a
+    join-then-distinct, which would materialize the 1:N blowup before
+    collapsing it).
+
+    Scale shape: the quantity filter pushes to the lineitem scan and the
+    semi-join needs no distinct on the right side (semi short-circuits
+    on first match). Both sides shuffle on l_orderkey at 100 TB; when
+    the filtered side fits, AQE demotes to broadcast — semantics
+    identical either way."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hits = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(hits, o.o_orderkey == hits.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------- SCD Type 2
+@register(
+    "scd2_user_state",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       event_type AS state,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change-event log:
+    collapse each user's event stream to its state CHANGE points
+    (event_type as the tracked attribute) and emit versioned validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard warehouse dimension-history shape (Kimball SCD2), derived
+    here entirely from the append-only log the way a CDC compaction job
+    would.
+
+    Scale shape: both windows (change detection, interval sealing) ride
+    ONE user_id exchange — no self-join against the log, no
+    merge-into. Ties inside a user are totally ordered by (ts,
+    event_id), so versions are deterministic under replay. Point-in-time
+    lookups against the result are the as-of join (`events_asof_attribution`).
+
+    Reference parity: the reference keeps only current state in memory
+    (`/root/reference/services/harvest_service.py:198-232`); SCD2 is
+    that state WITH its history, reconstructible at any timestamp."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(by_user))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    # events.ts is TIMESTAMP_NTZ; the session tz is UTC, so the cast is
+    # the identity DuckDB's epoch_us applies to the same naive value.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return changes.select(
+        "user_id",
+        F.row_number().over(by_user).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        ts_us.alias("valid_from_us"),
+        F.lead(ts_us).over(by_user).alias("valid_to_us"),
+        F.lead("ts").over(by_user).isNull().alias("is_current"),
+    )
+
+
+# ------------------------------------------------------- sliding HLL users
+def _hll_sliding_sql() -> str:
+    from data_harvesting_spark.operators.sketch import hll_numerator
+
+    num = hll_numerator(5)
+    return f"""
+WITH offs AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) AS o(i)),
+ev AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(user_id AS VARCHAR) AS term
+  FROM events),
+hashed AS (
+  SELECT day, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM ev),
+rho AS (
+  SELECT day, h & 31 AS bucket,
+         CASE WHEN (h >> 5) = 0 THEN 56
+              ELSE 56 - length(bin(h >> 5)) END AS rho
+  FROM hashed),
+winreg AS (
+  SELECT day - offs.i AS window_start_day, bucket, max(rho) AS m_j
+  FROM rho CROSS JOIN offs GROUP BY 1, 2),
+sums AS (
+  SELECT window_start_day, CAST(count(*) AS BIGINT) AS registers_used,
+         CAST(sum((1::BIGINT) << (56 - m_j)) AS BIGINT) AS s_present
+  FROM winreg GROUP BY 1),
+s AS (
+  SELECT window_start_day, registers_used,
+         s_present + (32 - registers_used) * (1::BIGINT << 56) AS s_scaled
+  FROM sums),
+exact AS (
+  SELECT ev.day - offs.i AS window_start_day,
+         CAST(count(DISTINCT term) AS BIGINT) AS exact_users
+  FROM ev CROSS JOIN offs GROUP BY 1)
+SELECT s.window_start_day, registers_used, s_scaled,
+       round({num!r} / s_scaled, 2) AS hll_users,
+       exact_users,
+       round(abs({num!r} / s_scaled - exact_users) / exact_users, 4)
+         AS rel_err
+FROM s JOIN exact USING (window_start_day)
+"""
+
+
+@register("hll_sliding_users", _hll_sliding_sql())
+def q_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct-user counts from MERGED per-day HLL
+    sketches — the sketch-mergeability law exercised as a windowing
+    primitive, machine-checked: Spark builds 32-register sketches per
+    DAY and rolls each window up by bucket-wise MAX of seven day
+    sketches; the oracle computes every window's registers directly from
+    raw rows. Bit-equality of the two proves max-merge associativity end
+    to end (plus identical estimates, since the harmonic sums are exact
+    integers on both sides).
+
+    100 TB posture: raw rows are touched ONCE (per-day register build,
+    map-side combine caps each task at m=32 rows per day); the sliding
+    explosion ×7 happens on the O(days × 32) register table, not on
+    events. The exact countDistinct per window rides alongside as the
+    verification column — at scale it is the column you drop, and
+    nothing else touches raw rows per-window."""
+    from data_harvesting_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    items = e.select(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.col("user_id").cast("string").alias("term"),
+    )
+    day_regs = hll_registers_grouped(items, ["day"], bits=5)
+    win_regs = (
+        day_regs.select(
+            "day", "bucket", "m_j",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select(
+            (F.col("day") - F.col("i")).alias("window_start_day"),
+            "bucket",
+            "m_j",
+        )
+        .groupBy("window_start_day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est = hll_estimate_grouped(win_regs, ["window_start_day"], bits=5)
+    exact = (
+        items.select(
+            "day", "term",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select((F.col("day") - F.col("i")).alias("window_start_day"), "term")
+        .groupBy("window_start_day")
+        .agg(F.countDistinct("term").cast("bigint").alias("exact_users"))
+    )
+    from data_harvesting_spark.operators.sketch import hll_numerator
+
+    # rel_err from the UNROUNDED ratio (num / s_scaled), matching the
+    # oracle — rounding first would shift the 4th decimal on edge rows.
+    raw = F.lit(hll_numerator(5)) / F.col("s_scaled")
+    return est.join(exact, "window_start_day").select(
+        "window_start_day",
+        "registers_used",
+        "s_scaled",
+        F.col("hll_estimate").alias("hll_users"),
+        "exact_users",
+        F.round(
+            F.abs(raw - F.col("exact_users")) / F.col("exact_users"), 4
+        ).alias("rel_err"),
     )

@@ -1,0 +1,242 @@
+"""Round-5 continuation additions: prefix-filtered set-similarity join,
+TPC-H Q18 / EXISTS semi-join, SCD Type-2 build, grouped-mergeable HLL.
+
+Oracle value-parity for all five queries is covered by the full-catalog
+sweep (tests/test_oracle_full.py); these tests pin the plan shapes and
+the algorithmic invariants the sweep cannot see.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------- setsim prefix join
+def test_setsim_prefix_equals_naive_jaccard(spark):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: its
+    output must equal the full shingle self-join pair-for-pair."""
+    from data_harvesting_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        setsim_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    prefixed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in setsim_prefix_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert prefixed == naive and naive  # identical, and non-degenerate
+
+
+def test_setsim_prefix_filter_cuts_candidates(spark):
+    """The point of the prefix: strictly fewer candidate pairs enter
+    verification than share ANY shingle (the naive join's key space)."""
+    from data_harvesting_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = word_shingles(docs, 3)
+    naive_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # re-derive the operator's candidate set (pre-verification)
+    from pyspark.sql import Window
+
+    df_dim = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    order = by_doc.orderBy("df", "shingle")
+    t = 0.5
+    prefix = (
+        sh.join(F.broadcast(df_dim), "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(order).alias("rn"),
+            F.count(F.lit(1)).over(by_doc).alias("sz"),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+        )
+    )
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle",
+                      F.col("sz").alias("sza"))
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle",
+                      F.col("sz").alias("szb"))
+    cand = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("da") < F.col("db"))
+            & (F.col("sza") >= F.lit(t) * F.col("szb") - F.lit(1e-9))
+            & (F.col("szb") >= F.lit(t) * F.col("sza") - F.lit(1e-9))
+        )
+        .select("da", "db")
+        .distinct()
+        .count()
+    )
+    assert cand < naive_pairs / 2, (cand, naive_pairs)
+
+
+def test_setsim_prefix_plan_shape(spark):
+    """df dimension broadcast (never a shuffle join against the shingle
+    table) and no cartesian/BNLJ anywhere."""
+    from data_harvesting_spark.operators.dedup import setsim_prefix_pairs
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(setsim_prefix_pairs(docs, n=3, threshold=0.5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ------------------------------------------------------- TPC-H Q18 / semi
+def test_tpch_q18_plan_shape(spark):
+    """HAVING-filtered order set broadcast back into orders; customer dim
+    broadcast; top-100 as TakeOrdered, no global sort."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q18"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_orders_priority_semi_plan_and_semantics(spark):
+    """EXISTS compiles to a LEFT SEMI join (no join-then-distinct blowup)
+    and counts every order at most once regardless of matching lines."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["orders_priority_semi"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    total_semi = sum(r.n_orders for r in df.collect())
+    n_orders_with_hit = (
+        spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+        .distinct()
+        .join(
+            spark.read.parquet(f"{SF_ORACLE}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert total_semi == n_orders_with_hit
+
+
+# ------------------------------------------------------- SCD Type 2
+def test_scd2_semantics_on_fixture(spark):
+    """Hand-checkable dimension history: change points, [from, to)
+    interval chaining, version numbering, is_current flag."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+    import pandas as pd
+
+    rows = [
+        # user 1: A A B A  -> versions A, B, A
+        (1, dt.datetime(2024, 1, 1), 1, "A", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "A", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 3), 1, "B", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 4), 1, "A", 0.0, "{}"),
+        # user 2: single state, stays current
+        (5, dt.datetime(2024, 1, 1), 2, "X", 0.0, "{}"),
+        # user 3: same-timestamp tie broken by event_id
+        (7, dt.datetime(2024, 1, 1), 3, "P", 0.0, "{}"),
+        (6, dt.datetime(2024, 1, 1), 3, "Q", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props"
+        ).write.parquet(f"{d}/events.parquet")
+        out = (
+            spark_queries()["scd2_user_state"](spark, d)
+            .orderBy("user_id", "version")
+            .collect()
+        )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.version, r.state) for r in u1] == [(1, "A"), (2, "B"), (3, "A")]
+    # intervals chain: each valid_to == next valid_from; last is open
+    assert u1[0].valid_to_us == u1[1].valid_from_us
+    assert u1[1].valid_to_us == u1[2].valid_from_us
+    assert u1[2].valid_to_us is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    u2 = [r for r in out if r.user_id == 2]
+    assert [(r.version, r.state, r.is_current) for r in u2] == [(1, "X", True)]
+    # tie at identical ts ordered by event_id: Q (id 6) then P (id 7)
+    u3 = [r for r in out if r.user_id == 3]
+    assert [(r.version, r.state) for r in u3] == [(1, "Q"), (2, "P")]
+
+
+def test_scd2_single_exchange_plan(spark):
+    """Both windows + the change filter ride ONE user_id exchange."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["scd2_user_state"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ------------------------------------------------------- grouped HLL merge
+def test_hll_grouped_merge_law(spark):
+    """Register mergeability: per-part sketches max-merged == one-shot
+    sketch over the union, bit-for-bit, for ANY split of the input."""
+    from data_harvesting_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        F.col("user_id").cast("string").alias("term"),
+        (F.col("event_id") % 5).alias("part"),
+        F.lit(1).alias("g"),
+    )
+    one_shot = hll_registers_grouped(e, ["g"], bits=5)
+    merged = (
+        hll_registers_grouped(e, ["g", "part"], bits=5)
+        .groupBy("g", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    a = {(r.bucket, r.m_j) for r in one_shot.collect()}
+    b = {(r.bucket, r.m_j) for r in merged.collect()}
+    assert a == b and a
+    est = hll_estimate_grouped(one_shot, ["g"], bits=5).collect()[0]
+    exact = e.select("term").distinct().count()
+    assert abs(est.hll_estimate - exact) / exact < 0.5  # raw-range sanity
+
+
+def test_hll_sliding_users_register_bound(spark):
+    """State bound: every sliding window's register table holds at most
+    m=32 rows — the O(sketch)-not-O(data) contract."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    out = spark_queries()["hll_sliding_users"](spark, SF_ORACLE).collect()
+    assert out
+    for r in out:
+        assert r.registers_used <= 32
