@@ -322,3 +322,79 @@ def hll_estimate_grouped(
             F.round(F.lit(num) / F.col("s_scaled"), 2).alias("hll_estimate"),
         )
     )
+
+
+def log2_histogram_grouped(
+    values: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Mergeable quantile sketch #4 beside CMS (frequency), HLL
+    (cardinality) and bottom-k (sampling): a log2-bucket histogram over a
+    non-negative int64 ``v`` column. Bucket = bit-length of v (exact
+    integer ``length(bin(v))`` — floor(log2)+1, the same no-floating-log
+    trick as HLL's rho), bucket 0 reserved for v = 0. Counts merge by
+    SUM across any partitioning of the input — per-day histograms roll
+    into windows/corpus totals without re-touching raw rows.
+
+    Scale posture: ONE hash aggregate whose map-side combine caps each
+    task's output at keys × ~64 buckets — O(sketch), not O(data)."""
+    b = (
+        F.when(F.col("v") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin("v")))
+        .cast("int")
+    )
+    return (
+        values.select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from a log2-bucket histogram:
+    nearest-rank target r = ceil(q*n) (FP-safe epsilon), located in the
+    first bucket whose running count reaches r, linearly interpolated
+    inside the bucket's exact integer span [2^(b-1), 2^b - 1]. Integer
+    arithmetic end-to-end, ONE double division per (group, q) — the same
+    determinism contract as the HLL estimate, so a SQL oracle reproduces
+    every estimate bit-for-bit."""
+    from pyspark.sql import Window
+
+    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(*keys).orderBy("bucket")
+        ),
+    )
+    # quantile fan-out is an in-row explode of a constant array — no
+    # dim join, no BNLJ; the totals join broadcasts O(groups) rows.
+    j = (
+        cum.join(F.broadcast(totals), keys)
+        .withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+        )
+        .withColumn(
+            "r", F.ceil(F.col("q") * F.col("n") - F.lit(1e-9)).cast("bigint")
+        )
+        .where(
+            (F.col("cum") >= F.col("r"))
+            & (F.col("cum") - F.col("cnt") < F.col("r"))
+        )
+    )
+    lo = F.when(
+        F.col("bucket") == 0, F.lit(0).cast("bigint")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+    hi = F.when(
+        F.col("bucket") == 0, F.lit(0).cast("bigint")
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1"))
+    p = F.col("r") - (F.col("cum") - F.col("cnt"))
+    return j.select(
+        *keys,
+        "q",
+        "n",
+        F.round(
+            lo + ((hi - lo) * p) / F.col("cnt"), 4
+        ).alias("est"),
+    )

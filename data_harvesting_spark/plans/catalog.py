@@ -50,7 +50,6 @@ _WINDOW_FRONT = [
     "stratified_sample",
     "tfidf_top_terms",
     "doc_repetition",
-    "doc_decontaminate",
     "dedup_components",
     "dedup_increment",
     "cosine_topk",
@@ -67,7 +66,6 @@ _WINDOW_FRONT = [
     "doc_lang_id",
     "harvest_rates_tool",
     "crop_renumber",
-    "tool_args_rollup",
     "first_last_span",
     "inter_turn_latency",
     "exists_forall",
@@ -97,6 +95,11 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
+    # rotated out in the round-5 continuation to admit the five new
+    # (then seven) never-checked queries; trivial long-green rollups,
+    # digest-pinned + swept every round
+    "doc_decontaminate",
+    "tool_args_rollup",
     # rotated out in the round-5 continuation to admit the five new
     # never-checked queries (setsim_prefix_dups, tpch_q18,
     # orders_priority_semi, scd2_user_state, hll_sliding_users): all

@@ -837,3 +837,194 @@ def q_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(raw - F.col("exact_users")) / F.col("exact_users"), 4
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------- quantile sketch (log2)
+@register(
+    "value_quantile_sketch",
+    """
+WITH vm AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events),
+hist AS (
+  SELECT event_type, day,
+         CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM vm GROUP BY 1, 2, 3),
+merged AS (
+  SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM merged),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT event_type, q, n, bucket, cnt, cum,
+         CAST(ceil(q * n - 1e-9) AS BIGINT) AS r
+  FROM cum CROSS JOIN qs
+  WHERE cum >= CAST(ceil(q * n - 1e-9) AS BIGINT)
+    AND cum - cnt < CAST(ceil(q * n - 1e-9) AS BIGINT)),
+est AS (
+  SELECT event_type, q, CAST(n AS BIGINT) AS n,
+         round(
+           (CASE WHEN bucket = 0 THEN 0
+                 ELSE (1::BIGINT << (bucket - 1)) END)
+           + ((CASE WHEN bucket = 0 THEN 0
+                    ELSE ((1::BIGINT << bucket) - 1)
+                         - (1::BIGINT << (bucket - 1)) END)
+              * (r - (cum - cnt))) * 1.0 / cnt,
+           4) AS est
+  FROM hit),
+exact AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(v, 0.5)) AS BIGINT) AS e50,
+         CAST(floor(quantile_cont(v, 0.9)) AS BIGINT) AS e90,
+         CAST(floor(quantile_cont(v, 0.99)) AS BIGINT) AS e99
+  FROM vm GROUP BY 1)
+SELECT e.event_type, e.q, e.n, e.est,
+       CASE WHEN e.q = 0.5 THEN x.e50
+            WHEN e.q = 0.9 THEN x.e90
+            ELSE x.e99 END AS exact_milli
+FROM est e JOIN exact x ON e.event_type = x.event_type
+""",
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the (milli-integerized) value column per event
+    type, estimated from MERGED per-day log2-bucket histograms — the
+    fourth mergeable sketch (quantiles) beside CMS, HLL and bottom-k,
+    with its merge law machine-checked the same way as
+    `hll_sliding_users`: Spark builds per-(type, day) histograms and
+    sums them into per-type sketches; the oracle histograms raw rows
+    directly. Estimates are exact-integer bucket spans with one double
+    division, so they match bit-for-bit; the exact interpolated
+    percentile rides alongside (floored — the ulp-absorbing
+    `latency_quantiles` precedent) as the verification column.
+
+    100 TB posture: raw rows are touched once (map-side combine caps
+    each task at keys × ~64 bucket rows); merge, cumsum and the quantile
+    fan-out (in-row explode, no dim join) all run on O(keys × buckets)
+    rows. The exact percentile is the column you drop at scale."""
+    from data_harvesting_spark.operators.sketch import (
+        histogram_quantiles,
+        log2_histogram_grouped,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vm = e.select(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    day_hist = log2_histogram_grouped(vm, ["event_type", "day"])
+    merged = day_hist.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    est = histogram_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
+    exact = vm.groupBy("event_type").agg(
+        F.floor(F.percentile("v", F.lit(0.5))).cast("bigint").alias("e50"),
+        F.floor(F.percentile("v", F.lit(0.9))).cast("bigint").alias("e90"),
+        F.floor(F.percentile("v", F.lit(0.99))).cast("bigint").alias("e99"),
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "q",
+        "n",
+        "est",
+        F.when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.9, F.col("e90"))
+        .otherwise(F.col("e99"))
+        .alias("exact_milli"),
+    )
+
+
+# --------------------------------------------------- robust anomaly days
+@register(
+    "events_anomaly_days",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, quantile_cont(total_cents, 0.5) AS med
+  FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.total_cents, m.med,
+         abs(d.total_cents - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, d.day, d.total_cents,
+       CAST(floor(d.med) AS BIGINT) AS med_cents,
+       round(
+         CASE WHEN m.mad = 0 THEN NULL
+              ELSE 0.6745 * (d.total_cents - d.med) / m.mad END, 4)
+         AS robust_z,
+       coalesce(
+         abs(CASE WHEN m.mad = 0 THEN NULL
+                  ELSE 0.6745 * (d.total_cents - d.med) / m.mad END) > 3.5,
+         FALSE) AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+""",
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) anomaly detection by MODIFIED Z-SCORE
+    (Iglewicz & Hoaglin 1993): 0.6745 * (x - median) / MAD, flag at
+    |z| > 3.5 — the robust outlier rule that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers it hunts.
+
+    Determinism: daily totals are exact integer cents; the interpolated
+    median of integers and the MAD of the resulting dyadic deviations
+    are exact dyadic rationals (no rounding error exists to diverge on),
+    so both engines compute identical doubles and the flag's 3.5
+    boundary is stable. MAD = 0 degrades to NULL z / FALSE flag.
+
+    Scale shape: one (type, day) hash agg over raw events; everything
+    after runs on O(types × days) rows — medians are per-type exact
+    percentiles over that small set (at 100 TB the days-per-type stays
+    bounded, which is exactly why the rollup precedes the median), and
+    both stats broadcast back."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.select(
+            "event_type",
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("total_cents", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("total_cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.lit(0.6745) * (F.col("total_cents") - F.col("med")) / F.col("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "total_cents",
+        F.floor("med").cast("bigint").alias("med_cents"),
+        F.round(z, 4).alias("robust_z"),
+        F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_anomaly"),
+    )

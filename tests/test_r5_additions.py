@@ -240,3 +240,105 @@ def test_hll_sliding_users_register_bound(spark):
     assert out
     for r in out:
         assert r.registers_used <= 32
+
+
+# ------------------------------------------------- log2 histogram sketch
+def test_log2_histogram_merge_law(spark):
+    """Count mergeability: per-part histograms summed == one-shot
+    histogram over the union, for any split of the input."""
+    from data_harvesting_spark.operators.sketch import log2_histogram_grouped
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        (F.col("event_id") % 7).alias("part"),
+        F.lit(1).alias("g"),
+    )
+    one_shot = {
+        (r.bucket, r.cnt)
+        for r in log2_histogram_grouped(e, ["g"]).collect()
+    }
+    merged = {
+        (r.bucket, r.cnt)
+        for r in (
+            log2_histogram_grouped(e, ["g", "part"])
+            .groupBy("g", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    }
+    assert one_shot == merged and one_shot
+
+
+def test_histogram_quantiles_accuracy_and_bounds(spark):
+    """Every estimate lands inside its bucket's value span, and within
+    2x of the exact percentile (log2 buckets' worst case)."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    rows = spark_queries()["value_quantile_sketch"](spark, SF_ORACLE).collect()
+    assert len(rows) == 15  # 5 event types x 3 quantiles
+    for r in rows:
+        assert r.exact_milli / 2 <= r.est <= r.exact_milli * 2, r
+
+
+def test_histogram_quantiles_fixture_exact(spark):
+    """On a single-bucket-resolvable fixture the interpolation is exact:
+    8 values spanning one octave land where rank arithmetic says."""
+    from data_harvesting_spark.operators.sketch import (
+        histogram_quantiles,
+        log2_histogram_grouped,
+    )
+
+    vals = [16, 18, 20, 22, 24, 26, 28, 30]  # all bucket 5: [16, 31]
+    df = spark.createDataFrame(
+        [(1, v) for v in vals], "g int, v long"
+    )
+    hist = log2_histogram_grouped(df, ["g"])
+    assert hist.count() == 1
+    out = {r.q: r.est for r in
+           histogram_quantiles(hist, ["g"], [0.5, 1.0]).collect()}
+    # bucket 5 spans [16, 31]; r(0.5)=4 -> 16 + 15*4/8 = 23.5
+    assert out[0.5] == 23.5
+    # r(1.0)=8 -> 16 + 15 = 31 (the bucket's upper edge)
+    assert out[1.0] == 31.0
+
+
+# ------------------------------------------------- robust anomaly days
+def test_anomaly_robust_z_semantics(spark):
+    """A planted 10x spike day is flagged; MAD immunity: the spike does
+    not drag the median/MAD enough to unflag itself (the failure mode of
+    mean/stddev z-scores); MAD=0 degrades to NULL z, not a crash."""
+    import pandas as pd
+    import tempfile
+
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    rows = []
+    eid = 0
+    for day in range(1, 12):
+        # normal days jitter 49-51 (so MAD > 0); day 6 spikes 10x
+        v = 500.0 if day == 6 else 49.0 + (day % 3)
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day), 1, "buy", v, "{}"))
+    # a second type with ZERO spread -> MAD = 0
+    for day in range(1, 6):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day), 2, "flat", 7.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props"
+        ).write.parquet(f"{d}/events.parquet")
+        out = spark_queries()["events_anomaly_days"](spark, d).collect()
+    buy = {r.day: r for r in out if r.event_type == "buy"}
+    spike_day = [r for r in buy.values() if r.total_cents == 50000]
+    assert len(spike_day) == 1 and spike_day[0].is_anomaly
+    normal = [r for r in buy.values() if r.total_cents < 50000]
+    assert len(normal) == 10 and all(not r.is_anomaly for r in normal)
+    flat = [r for r in out if r.event_type == "flat"]
+    assert flat and all(
+        r.robust_z is None and not r.is_anomaly for r in flat
+    )
