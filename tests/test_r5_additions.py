@@ -342,3 +342,135 @@ def test_anomaly_robust_z_semantics(spark):
     assert flat and all(
         r.robust_z is None and not r.is_anomaly for r in flat
     )
+
+
+# ------------------------------------------------- streaming quantile sketch
+@pytest.fixture(scope="module")
+def qsketch_batches(tmp_path_factory):
+    """Three event micro-batches with values spanning several octaves so
+    the cumulative histogram genuinely merges across epochs."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, typ, val, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), 1, typ, val, "{}")
+
+    files = [
+        [ev(1, "click", 1.5, 0), ev(2, "click", 40.0, 1),
+         ev(3, "buy", 100.0, 2)],
+        [ev(4, "click", 3.0, 10), ev(5, "buy", 220.0, 11),
+         ev(6, "buy", 0.004, 12)],  # milli-floor -> bucket 3 / v=4
+        [ev(7, "click", 500.0, 20), ev(8, "click", 41.0, 21)],
+    ]
+    d = tmp_path_factory.mktemp("qsketch_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_quantile_report(spark, source_dir):
+    from data_harvesting_spark.operators.sketch import (
+        histogram_quantiles,
+        log2_histogram_grouped,
+    )
+
+    src = spark.read.parquet(source_dir + "/*.parquet")
+    vm = src.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    return histogram_quantiles(
+        log2_histogram_grouped(vm, ["event_type"]), ["event_type"],
+        [0.5, 0.9, 0.99],
+    )
+
+
+def test_quantile_sketch_stream_equals_batch(spark, qsketch_batches, tmp_path):
+    """The final epoch's cumulative quantile report equals the one-shot
+    batch sketch over all rows EXACTLY (cell-wise SUM merge == single
+    histogram), and the ledger holds O(types x buckets) rows."""
+    import os as _os
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_quantile_sketch_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "qsink")
+    q = start_quantile_sketch_stream_job(
+        spark, qsketch_batches, sink, str(tmp_path / "qckpt"),
+        available_now=False,
+    )
+    drain(q)
+
+    rows = read_epoch_sink(spark, sink).toPandas()
+    last = rows[rows["epoch"] == rows["epoch"].max()]
+    got = {
+        (r.event_type, r.q): (r.n, r.est) for r in last.itertuples()
+    }
+    want = {
+        (r.event_type, r.q): (r.n, r.est)
+        for r in _batch_quantile_report(spark, qsketch_batches).collect()
+    }
+    assert got == want and len(want) == 6  # 2 types x 3 quantiles
+
+    ledger = str(tmp_path / "qsink.qhist")
+    epochs = [n for n in _os.listdir(ledger) if n.startswith("_epoch=")]
+    assert epochs
+    snap = spark.read.parquet(f"{ledger}/{sorted(epochs)[-1]}")
+    assert snap.count() <= 2 * 64  # types x max buckets
+
+
+def test_quantile_sketch_stream_kill_and_resume(
+    spark, qsketch_batches, tmp_path
+):
+    """W7: stop after the first micro-batch, resume from checkpoint —
+    the final report equals the uninterrupted run's (frozen-pre-state
+    snapshots replay idempotently, sums don't double-count)."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_quantile_sketch_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "qsink")
+    ckpt = str(tmp_path / "qckpt")
+    q = start_quantile_sketch_stream_job(
+        spark, qsketch_batches, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        prog = q.recentProgress
+        if any((p.get("numInputRows") or 0) > 0 for p in prog):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_quantile_sketch_stream_job(
+        spark, qsketch_batches, sink, ckpt, available_now=False
+    )
+    drain(q2)
+
+    rows = read_epoch_sink(spark, sink).toPandas()
+    last = rows[rows["epoch"] == rows["epoch"].max()]
+    got = {(r.event_type, r.q): (r.n, r.est) for r in last.itertuples()}
+    want = {
+        (r.event_type, r.q): (r.n, r.est)
+        for r in _batch_quantile_report(spark, qsketch_batches).collect()
+    }
+    assert got == want
