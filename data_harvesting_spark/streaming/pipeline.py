@@ -1664,6 +1664,83 @@ def read_event_stream(
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def start_followups_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    lower_us: int = 0,
+    upper_us: int = 30 * 60 * 1_000_000,
+    watermark: str = "2 hours",
+):
+    """NATIVE watermarked stream-stream interval self-join — the
+    streaming twin of ``operators/temporal.py::range_join`` (same
+    semantics: for every error event, all same-user events with ts in
+    ``(error_ts + lower, error_ts + upper]``), expressed entirely as
+    Spark's built-in stream-stream join instead of a Python stateful
+    handler: both sides carry event-time watermarks and the join
+    condition is a recognized time-range constraint
+    (``r_ts BETWEEN l_ts + lower AND l_ts + upper``), so the engine
+    buffers each side in JVM state and EVICTS rows the moment the
+    watermark proves no future match can arrive — state is
+    O(watermark-window of both sides), maintained by Spark itself with
+    no ledger, no handler, no Python in the loop.
+
+    Matches split across micro-batches pair up when the second side
+    arrives (pinned by the cross-epoch test); rows later than the
+    watermark on either side are dropped by the engine — the documented
+    divergence from the batch twin, same contract as every other
+    watermarked job here. Output pairs flow append-mode through the
+    idempotent epoch sink; aggregation to the blast-radius report shape
+    (``events_error_followups``) is a batch job over the sink.
+    """
+    stream = read_event_stream(spark, source_dir)
+    errors = (
+        stream.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    follows = (
+        stream.select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = errors.join(
+        follows,
+        F.expr(
+            f"""user_id = l_user_id
+            AND r_ts > l_ts + INTERVAL {lower_us} MICROSECOND
+            AND r_ts <= l_ts + INTERVAL {upper_us} MICROSECOND"""
+        ),
+    ).select(
+        "l_event_id", F.col("l_user_id").alias("user_id"), "l_ts",
+        "r_event_id", "r_ts", "r_value",
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        write_epoch(df, epoch_id, sink_path)
+
+    writer = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_quantile_sketch_stream_job(
     spark: SparkSession,
     source_dir: str,

@@ -474,3 +474,125 @@ def test_quantile_sketch_stream_kill_and_resume(
         for r in _batch_quantile_report(spark, qsketch_batches).collect()
     }
     assert got == want
+
+
+# -------------------------------------------- native stream-stream join
+@pytest.fixture(scope="module")
+def followup_batches(tmp_path_factory):
+    """Errors and follow-ups split ACROSS micro-batches: u1's error in
+    epoch 0 matches follow-ups arriving in epochs 0, 1 and 2 (the native
+    join must buffer the error in state); u2's activity sits outside the
+    30-minute window; u3's follow-up PRECEDES its error (no match)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, val, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, val, "{}")
+
+    files = [
+        [ev(1, 1, "error", 0.0, 0), ev(2, 1, "click", 1.0, 60),
+         ev(3, 2, "error", 0.0, 0)],
+        [ev(4, 1, "view", 2.0, 600), ev(5, 2, "click", 9.0, 3600)],
+        [ev(6, 1, "click", 3.0, 1700), ev(7, 3, "click", 5.0, 100),
+         ev(8, 3, "error", 0.0, 200)],
+    ]
+    d = tmp_path_factory.mktemp("followup_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_followup_pairs(spark, source_dir):
+    from data_harvesting_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(source_dir + "/*.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return {
+        (r.l_event_id, r.r_event_id)
+        for r in range_join(
+            errors, ev.select("user_id", "ts", "event_id", "value"),
+            on=["user_id"], lower_us=0, upper_us=30 * 60 * 1_000_000,
+        )
+        .select(
+            F.col("l_event_id"), F.col("r_event_id"),
+        )
+        .collect()
+    }
+
+
+def test_followups_stream_equals_batch_range_join(
+    spark, followup_batches, tmp_path
+):
+    """The native watermarked stream-stream join emits exactly the batch
+    range_join's pair set — including the error-in-epoch-0 →
+    follow-up-in-epoch-2 pair that forces cross-epoch JVM state."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_followups_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "fsink")
+    q = start_followups_stream_job(
+        spark, followup_batches, sink, str(tmp_path / "fckpt"),
+        available_now=False,
+    )
+    drain(q)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in read_epoch_sink(spark, sink).collect()
+    }
+    want = _batch_followup_pairs(spark, followup_batches)
+    assert got == want
+    # the fixture's design points actually hold
+    assert (1, 2) in want and (1, 4) in want and (1, 6) in want
+    assert (3, 5) not in want          # outside the 30-min window
+    assert (8, 7) not in want          # follow-up precedes the error
+
+
+def test_followups_stream_kill_and_resume(spark, followup_batches, tmp_path):
+    """W7 on the native join: stop after the first micro-batch, resume
+    from checkpoint — identical final pair set, no duplicates (the JVM
+    join state restores from the checkpoint)."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_followups_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "fsink")
+    ckpt = str(tmp_path / "fckpt")
+    q = start_followups_stream_job(
+        spark, followup_batches, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any((p.get("numInputRows") or 0) > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_followups_stream_job(
+        spark, followup_batches, sink, ckpt, available_now=False
+    )
+    drain(q2)
+    rows = read_epoch_sink(spark, sink).collect()
+    pairs = [(r.l_event_id, r.r_event_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # exactly-once: no dup pairs
+    assert set(pairs) == _batch_followup_pairs(spark, followup_batches)
