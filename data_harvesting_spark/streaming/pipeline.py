@@ -1664,6 +1664,44 @@ def read_event_stream(
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def start_scd2_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Continuous SCD Type-2 dimension maintenance over the event stream
+    (streaming/scd2.py): emits every CLOSED version row the moment its
+    closing event passes the watermark; the open (current) version per
+    user is the keyed state — the dimension's current table, bounded by
+    entity count. Emitted closed versions == the batch
+    ``scd2_user_state`` query's ``is_current = false`` rows EXACTLY
+    (parity + kill-resume tests)."""
+    from data_harvesting_spark.streaming.scd2 import scd2_stream
+
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_event_stream(spark, source_dir)
+    closed = scd2_stream(stream, watermark_delay, late_counter)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        write_epoch(df, epoch_id, sink_path)
+
+    writer = (
+        closed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
 def start_followups_stream_job(
     spark: SparkSession,
     source_dir: str,

@@ -596,3 +596,138 @@ def test_followups_stream_kill_and_resume(spark, followup_batches, tmp_path):
     pairs = [(r.l_event_id, r.r_event_id) for r in rows]
     assert len(pairs) == len(set(pairs))  # exactly-once: no dup pairs
     assert set(pairs) == _batch_followup_pairs(spark, followup_batches)
+
+
+# ------------------------------------------------- streaming SCD2
+@pytest.fixture(scope="module")
+def scd2_batches(tmp_path_factory):
+    """Event micro-batches with OUT-OF-ORDER arrivals inside the
+    watermark: u1's B-state event (ts 100) arrives an epoch after its
+    later A-state event (ts 200) — finalization must still fold them in
+    event-time order (A, B at 100, A at 200 -> versions A/B/A only if
+    order were arrival; correct history is A(0) -> B(100) -> A(200));
+    u2 changes state at an identical-ts tie broken by event_id; u3 never
+    changes (one open version, nothing emitted)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    files = [
+        [ev(1, 1, "A", 0), ev(4, 1, "A", 200), ev(5, 2, "X", 0),
+         ev(9, 3, "Z", 0)],
+        # u1's B arrives LATE in arrival order but within the watermark
+        [ev(2, 1, "B", 100), ev(7, 2, "Y", 50), ev(6, 2, "X", 50)],
+        # push the watermark far forward so everything above finalizes
+        [ev(10, 3, "Z", 7200), ev(11, 1, "A", 7200)],
+    ]
+    d = tmp_path_factory.mktemp("scd2_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_scd2_closed(spark, source_dir):
+    import glob
+    import shutil
+    import tempfile
+
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    with tempfile.TemporaryDirectory() as d:
+        _os_dir = f"{d}/events.parquet"
+        import os as _os
+
+        _os.makedirs(_os_dir)
+        for f in glob.glob(source_dir + "/*.parquet"):
+            shutil.copy(f, _os_dir)
+        out = spark_queries()["scd2_user_state"](spark, d).collect()
+    return {
+        (r.user_id, r.version, r.state, r.valid_from_us, r.valid_to_us)
+        for r in out
+        if not r.is_current
+    }
+
+
+def test_scd2_stream_equals_batch_closed_versions(
+    spark, scd2_batches, tmp_path
+):
+    """Every closed version the batch query derives is emitted by the
+    stream with identical (version, state, from, to) — including the
+    out-of-order fold and the identical-ts tie."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_scd2_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "ssink")
+    q = start_scd2_stream_job(
+        spark, scd2_batches, sink, str(tmp_path / "sckpt"),
+        available_now=False,
+    )
+    drain(q)
+    got = {
+        (r.user_id, r.version, r.state, r.valid_from_us, r.valid_to_us)
+        for r in read_epoch_sink(spark, sink).collect()
+    }
+    want = _batch_scd2_closed(spark, scd2_batches)
+    assert got == want
+    # design points: u1's history folded in EVENT-time order
+    u1 = sorted((v, s) for (u, v, s, _f, _t) in want if u == 1)
+    assert u1 == [(1, "A"), (2, "B")]  # A closed by B, B closed by A
+    # u2's tie broken by event_id: X(5), X(6) collapse, Y(7) closes X
+    u2 = [(v, s) for (u, v, s, _f, _t) in want if u == 2]
+    assert u2 == [(1, "X")]
+    # u3 never changed: no closed rows
+    assert not [1 for (u, *_rest) in want if u == 3]
+
+
+def test_scd2_stream_kill_and_resume(spark, scd2_batches, tmp_path):
+    """W7: stop after the first micro-batch, resume from checkpoint —
+    same closed-version set, no duplicates."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_scd2_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+    q = start_scd2_stream_job(
+        spark, scd2_batches, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any((p.get("numInputRows") or 0) > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_scd2_stream_job(
+        spark, scd2_batches, sink, ckpt, available_now=False
+    )
+    drain(q2)
+    rows = read_epoch_sink(spark, sink).collect()
+    keys = [(r.user_id, r.version) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {
+        (r.user_id, r.version, r.state, r.valid_from_us, r.valid_to_us)
+        for r in rows
+    }
+    assert got == _batch_scd2_closed(spark, scd2_batches)
