@@ -49,7 +49,6 @@ _WINDOW_FRONT = [
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
     "stratified_sample",
     "tfidf_top_terms",
-    "doc_repetition",
     "dedup_components",
     "dedup_increment",
     "cosine_topk",
@@ -96,10 +95,11 @@ _WINDOW_FRONT = [
 
 _WINDOW_TAIL = [
     # rotated out in the round-5 continuation to admit the five new
-    # (then seven) never-checked queries; trivial long-green rollups,
+    # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round
     "doc_decontaminate",
     "tool_args_rollup",
+    "doc_repetition",
     # rotated out in the round-5 continuation to admit the five new
     # never-checked queries (setsim_prefix_dups, tpch_q18,
     # orders_priority_semi, scd2_user_state, hll_sliding_users): all

@@ -1028,3 +1028,50 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("robust_z"),
         F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------- Z-order layout key
+def _zorder_sql() -> str:
+    from data_harvesting_spark.operators.layout import zorder_key_sql
+
+    return f"""
+WITH dims AS (
+  SELECT event_id,
+         user_id & 65535 AS ux,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) & 65535 AS tx
+  FROM events)
+SELECT event_id, ux, tx,
+       CAST({zorder_key_sql('ux', 'tx')} AS BIGINT) AS zkey
+FROM dims
+"""
+
+
+@register("events_zorder_key", _zorder_sql())
+def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user bucket, hour bucket) —
+    the multi-dimension data-skipping layout (Delta/Iceberg
+    `OPTIMIZE ZORDER BY`, UB-tree): sorting on zkey co-locates rows
+    close in EITHER dimension, so file/row-group min-max stats prune for
+    time-range AND per-user queries from one layout. Pure integer
+    shift/and/or expression (operators/layout.py::zorder_key) — no UDF,
+    no shuffle, rides the scan; the oracle evaluates the bit-identical
+    SQL spelling. The pruning win itself is pinned by
+    `test_zorder_prunes_both_dimensions` (blocks-hit meter: Z-order
+    beats a single-column sort on the opposite dimension)."""
+    from data_harvesting_spark.operators.layout import zorder_key
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dims = e.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("ux"),
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+        .alias("tx"),
+    )
+    return dims.select(
+        "event_id", "ux", "tx",
+        zorder_key(F.col("ux"), F.col("tx")).cast("bigint").alias("zkey"),
+    )
