@@ -58,11 +58,9 @@ _WINDOW_FRONT = [
     "embedding_centroid_k1",
     "sessionize",
     "harvest_rates_role_sliding",
-    "dataset_split",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "doc_quality",
-    "doc_lang_id",
     "harvest_rates_tool",
     "crop_renumber",
     "first_last_span",
@@ -100,6 +98,8 @@ _WINDOW_TAIL = [
     "doc_decontaminate",
     "tool_args_rollup",
     "doc_repetition",
+    "dataset_split",
+    "doc_lang_id",
     # rotated out in the round-5 continuation to admit the five new
     # never-checked queries (setsim_prefix_dups, tpch_q18,
     # orders_priority_semi, scd2_user_state, hll_sliding_users): all

@@ -1075,3 +1075,119 @@ def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ux", "tx",
         zorder_key(F.col("ux"), F.col("tx")).cast("bigint").alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q5
+@register(
+    "tpch_q5",
+    """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: the canonical 6-table join
+    with the non-tree edge (customer and supplier must share a nation).
+
+    Scale shape: region→nation prunes to a broadcast dim chain; supplier
+    and customer broadcast as dims; the only big-big edge is
+    orders⋈lineitem, which AQE plans as ONE orderkey exchange pair at
+    scale (here the filtered orders side broadcasts too). The non-tree
+    c_nationkey = s_nationkey predicate rides the lineitem join as a
+    post-filter on two already-joined dim columns — no extra shuffle.
+    Revenue is integerized to cents per row before the sum, so the
+    group sums are exact int64 and the cross-engine hash cannot flake
+    at the ulp (groups here are thousands of rows — too big for the
+    round-after-float-sum trick tpch_q1 uses on groupwise-small data)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia_nations = (
+        n.join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q17
+@register(
+    "tpch_q17",
+    """
+WITH lim AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             / 700.0, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN lim t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND l.l_quantity < t.qty_lim
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: the correlated
+    scalar subquery (l_quantity < 0.2 * that part's average quantity)
+    decorrelated into an aggregate + join-back — the standard rewrite
+    Catalyst itself applies to correlated scalar subqueries.
+
+    Determinism note: per-part avg(l_quantity) is a mean of
+    integer-valued doubles — the partial sums are exact in IEEE, so the
+    limit is bit-identical cross-engine despite the 1:N float division;
+    the revenue output is integerized cents (exact int64 sums).
+
+    Scale shape: the per-part quantity agg is one hash aggregate on the
+    same l_partkey key the join-back uses; the brand filter pushes to
+    the part scan and broadcasts; final agg is a scalar."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lim = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            F.round(F.sum(cents) / 700.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

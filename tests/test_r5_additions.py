@@ -786,3 +786,42 @@ def test_zorder_key_locality_property(spark):
     # and all 64 keys are a permutation of 0..63 (bijectivity)
     all_z = sorted(r.z for r in keyed.collect())
     assert all_z == list(range(64))
+
+
+# ------------------------------------------------- TPC-H Q5 / Q17
+def test_tpch_q5_plan_shape(spark):
+    """Six-table join with every dim broadcast: no SortMergeJoin, no
+    cartesian, and exactly one exchange (the final nation agg)."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["tpch_q5"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q17_decorrelation_semantics(spark):
+    """The decorrelated join-back equals per-part brute force: every
+    surviving line sits strictly below 0.2x its OWN part's mean."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
+    row = spark_queries()["tpch_q17"](spark, SF_ORACLE).collect()[0]
+    lim = {
+        r.l_partkey: 0.2 * r.m
+        for r in li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("m"))
+        .collect()
+    }
+    brand = {
+        r.p_partkey
+        for r in p.where(F.col("p_brand") == "Brand#4").collect()
+    }
+    brute = [
+        r
+        for r in li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+        if r.l_partkey in brand and r.l_quantity < lim[r.l_partkey]
+    ]
+    assert row.n_lines == len(brute)
+    assert row.total_cents == sum(round(r.l_extendedprice * 100) for r in brute)
