@@ -259,6 +259,32 @@ def hll_numerator(bits: int) -> float:
     return hll_alpha(m) * m * m * float(1 << (61 - bits))
 
 
+def hll_rho_projection(
+    items: DataFrame, keep: list[str], *, bits: int = 10
+) -> DataFrame:
+    """Per-row (bucket, rho) projection of a ``term`` column — the
+    stateless half of the grouped HLL build, shared by the batch
+    ``hll_registers_grouped`` and the streaming windowed register agg
+    (same 60-bit md5 split, same exact integer rank)."""
+    m = 1 << bits
+    shift = 61 - bits
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return items.select(
+        *keep,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        F.shiftright(h, bits).alias("rem"),
+    ).select(
+        *keep,
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(shift))
+        .otherwise(F.lit(shift) - F.length(F.bin("rem")))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
 def hll_registers_grouped(
     items: DataFrame, keys: list[str], *, bits: int = 10
 ) -> DataFrame:
@@ -269,23 +295,7 @@ def hll_registers_grouped(
     so per-day sketches roll into per-week windows without touching raw
     rows again. Same 60-bit md5 split; ``bits`` register-index bits keep
     the exact-integer harmonic sum bounded at m * 2^(61-bits) = 2^61."""
-    m = 1 << bits
-    shift = 61 - bits
-    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    hashed = items.select(
-        *keys,
-        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-        F.shiftright(h, bits).alias("rem"),
-    ).select(
-        *keys,
-        "bucket",
-        F.when(F.col("rem") == 0, F.lit(shift))
-        .otherwise(F.lit(shift) - F.length(F.bin("rem")))
-        .cast("int")
-        .alias("rho"),
-    )
+    hashed = hll_rho_projection(items, keys, bits=bits)
     return hashed.groupBy(*keys, "bucket").agg(F.max("rho").alias("m_j"))
 
 

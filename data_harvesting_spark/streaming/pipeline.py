@@ -1664,6 +1664,86 @@ def read_event_stream(
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def start_sliding_hll_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    bits: int = 5,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark_delay: str = "1 day",
+):
+    """Sliding-window distinct users via NATIVE windowed HLL registers —
+    the streaming twin of the ``hll_sliding_users`` catalog query, and
+    the windowed-state counterpart of the two cumulative sketch streams:
+    state here is Spark's own sliding-window aggregation over
+    ``(window, bucket) -> max(rho)`` register cells (JVM UnsafeRow state,
+    RocksDB-able, EVICTED automatically once the watermark closes a
+    window) — no Python handler, no ledger, and the state bound is
+    O(open windows × m) by construction.
+
+    Append mode hands ``foreachBatch`` only CLOSED windows; since every
+    bucket of a window shares the window's end, each window arrives
+    complete, and the finalize step (harmonic sum → one double division,
+    ``hll_estimate_grouped``) is a plain batch agg over O(m) rows.
+    Emitted estimates equal the batch query's rows for the same windows
+    bit-for-bit (same registers by max-merge associativity, same
+    exact-integer arithmetic) — pinned by the parity test.
+
+    Rows later than the watermark are dropped by the engine and
+    accounted in ``numRowsDroppedByWatermark`` (W2/W6); windows still
+    open when the stream stops are simply not yet emitted (they emit on
+    resume — kill-resume test).
+    """
+    from data_harvesting_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_rho_projection,
+    )
+
+    stream = read_event_stream(spark, source_dir)
+    items = stream.select(
+        "ts", F.col("user_id").cast("string").alias("term")
+    )
+    rho = hll_rho_projection(items, ["ts"], bits=bits)
+    regs = (
+        rho.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window, slide).alias("w"), "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        cells = df.select(
+            F.floor(F.unix_timestamp("w.start") / 86400)
+            .cast("bigint")
+            .alias("window_start_day"),
+            "bucket",
+            "m_j",
+        )
+        est = hll_estimate_grouped(
+            cells, ["window_start_day"], bits=bits
+        ).select(
+            F.lit(epoch_id).cast("long").alias("epoch"),
+            "window_start_day",
+            "registers_used",
+            "s_scaled",
+            F.col("hll_estimate").alias("hll_users"),
+        )
+        write_epoch(est, epoch_id, sink_path)
+
+    writer = (
+        regs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_scd2_stream_job(
     spark: SparkSession,
     source_dir: str,

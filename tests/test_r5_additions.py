@@ -825,3 +825,157 @@ def test_tpch_q17_decorrelation_semantics(spark):
     ]
     assert row.n_lines == len(brute)
     assert row.total_cents == sum(round(r.l_extendedprice * 100) for r in brute)
+
+
+# ------------------------------------------------- sliding HLL stream
+@pytest.fixture(scope="module")
+def hllwin_batches(tmp_path_factory):
+    """Users spread over 4 days + a far-future sentinel that drives the
+    watermark past every real window so they all close."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, day, hour=1):
+        return (
+            eid, base + pd.Timedelta(days=day, hours=hour), uid, "click",
+            1.0, "{}",
+        )
+
+    files = [
+        [ev(1, 10, 0), ev(2, 11, 0), ev(3, 10, 1)],
+        [ev(4, 12, 1), ev(5, 13, 2), ev(6, 10, 2)],
+        [ev(7, 14, 3), ev(8, 11, 3),
+         # sentinel: day 30 pushes the watermark (1 day delay) past
+         # every window that starts on days -6 .. 3
+         ev(9, 99, 30)],
+    ]
+    d = tmp_path_factory.mktemp("hllwin_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _batch_hll_windows(spark, source_dir):
+    """The hll_sliding_users math over all rows: day registers merged
+    into 7-day windows (window_start_day keyed)."""
+    from data_harvesting_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    ev = spark.read.parquet(source_dir + "/*.parquet")
+    items = ev.select(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("bigint")
+        .alias("day"),
+        F.col("user_id").cast("string").alias("term"),
+    )
+    win = (
+        hll_registers_grouped(items, ["day"], bits=5)
+        .select(
+            "day", "bucket", "m_j",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select(
+            (F.col("day") - F.col("i")).alias("window_start_day"),
+            "bucket", "m_j",
+        )
+        .groupBy("window_start_day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return {
+        (r.window_start_day, r.registers_used, r.s_scaled, r.hll_estimate)
+        for r in hll_estimate_grouped(
+            win, ["window_start_day"], bits=5
+        ).collect()
+    }
+
+
+def test_sliding_hll_stream_equals_batch_windows(
+    spark, hllwin_batches, tmp_path
+):
+    """Every CLOSED window's streamed estimate equals the batch sliding
+    HLL bit-for-bit; exactly the windows the watermark closed are
+    emitted (the sentinel's own windows stay open)."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sliding_hll_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "hsink")
+    q = start_sliding_hll_stream_job(
+        spark, hllwin_batches, sink, str(tmp_path / "hckpt"),
+        available_now=False,
+    )
+    drain(q)
+    got = {
+        (r.window_start_day, r.registers_used, r.s_scaled, r.hll_users)
+        for r in read_epoch_sink(spark, sink).collect()
+    }
+    want_all = _batch_hll_windows(spark, hllwin_batches)
+    # closed = window end <= watermark. Sentinel sits at base+30d+1h with
+    # a 1-day delay -> wm ~ base+29d; every real window (starts up to
+    # base_day+3) closes, every sentinel-only window (starts >=
+    # base_day+24) stays open.
+    import pandas as pd
+
+    base_day = pd.Timestamp("2026-06-01").value // (86400 * 10**9)
+    closed_starts = {w[0] for w in want_all if w[0] <= base_day + 3}
+    want = {w for w in want_all if w[0] in closed_starts}
+    assert {g[0] for g in got} == closed_starts
+    assert got == want and got  # bit-identical estimates
+
+
+def test_sliding_hll_stream_kill_and_resume(spark, hllwin_batches, tmp_path):
+    """W7 with native windowed state: stop mid-input, resume — the JVM
+    window state restores and the final emitted window set matches the
+    uninterrupted run with no duplicate windows."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_sliding_hll_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "hsink")
+    ckpt = str(tmp_path / "hckpt")
+    q = start_sliding_hll_stream_job(
+        spark, hllwin_batches, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any((p.get("numInputRows") or 0) > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_sliding_hll_stream_job(
+        spark, hllwin_batches, sink, ckpt, available_now=False
+    )
+    drain(q2)
+    rows = read_epoch_sink(spark, sink).collect()
+    starts = [r.window_start_day for r in rows]
+    assert len(starts) == len(set(starts))  # each window exactly once
+    got = {
+        (r.window_start_day, r.registers_used, r.s_scaled, r.hll_users)
+        for r in rows
+    }
+    import pandas as pd
+
+    base_day = pd.Timestamp("2026-06-01").value // (86400 * 10**9)
+    want_all = _batch_hll_windows(spark, hllwin_batches)
+    assert got == {w for w in want_all if w[0] <= base_day + 3}
