@@ -60,7 +60,6 @@ _WINDOW_FRONT = [
     "harvest_rates_role_sliding",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
-    "doc_quality",
     "harvest_rates_tool",
     "crop_renumber",
     "first_last_span",
@@ -100,6 +99,7 @@ _WINDOW_TAIL = [
     "doc_repetition",
     "dataset_split",
     "doc_lang_id",
+    "doc_quality",
     # rotated out in the round-5 continuation to admit the five new
     # never-checked queries (setsim_prefix_dups, tpch_q18,
     # orders_priority_semi, scd2_user_state, hll_sliding_users): all

@@ -1191,3 +1191,31 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ------------------------------------------------------------- anti join
+@register(
+    "orders_priority_anti",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+)
+def q_orders_priority_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as an explicit LEFT ANTI join — the complement of
+    `orders_priority_semi` (together they partition the orders table, a
+    property the test asserts). Same scale shape as the semi: pushdown
+    filter on the probe side, one orderkey-keyed join, no
+    join-then-null-filter materialization."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hits = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(hits, o.o_orderkey == hits.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

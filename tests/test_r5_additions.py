@@ -979,3 +979,29 @@ def test_sliding_hll_stream_kill_and_resume(spark, hllwin_batches, tmp_path):
     base_day = pd.Timestamp("2026-06-01").value // (86400 * 10**9)
     want_all = _batch_hll_windows(spark, hllwin_batches)
     assert got == {w for w in want_all if w[0] <= base_day + 3}
+
+
+def test_semi_anti_partition_orders(spark):
+    """semi + anti with the same predicate partition the orders table:
+    per-priority counts sum to the full table, and the plan is a real
+    LeftAnti (no join-then-null-filter)."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    anti_df = spark_queries()["orders_priority_anti"](spark, SF_ORACLE)
+    assert "LeftAnti" in _plan(anti_df), _plan(anti_df)
+    semi = {
+        r.o_orderpriority: r.n_orders
+        for r in spark_queries()["orders_priority_semi"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    anti = {r.o_orderpriority: r.n_orders for r in anti_df.collect()}
+    full = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, n in full.items():
+        assert semi.get(k, 0) + anti.get(k, 0) == n
