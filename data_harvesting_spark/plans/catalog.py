@@ -65,7 +65,6 @@ _WINDOW_FRONT = [
     "first_last_span",
     "inter_turn_latency",
     "exists_forall",
-    "doc_redact",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
     "ann_ivfpq_topk",       # residual encoding
@@ -100,6 +99,7 @@ _WINDOW_TAIL = [
     "dataset_split",
     "doc_lang_id",
     "doc_quality",
+    "doc_redact",
     # rotated out in the round-5 continuation to admit the five new
     # never-checked queries (setsim_prefix_dups, tpch_q18,
     # orders_priority_semi, scd2_user_state, hll_sliding_users): all

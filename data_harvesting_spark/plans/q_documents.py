@@ -3265,3 +3265,55 @@ def q_ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_refine_topk(emb, queries, k=5, refine_factor=4, nprobe=4,
                              residual=True)
+
+
+# ------------------------------------------------------------ CCNet tiers
+_CCNET_SQL = f"""
+WITH base AS ({_LM_SCORE_SQL}),
+langd AS (
+  SELECT b.doc_id, d.lang, b.n_tokens, b.lm_score
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id)
+SELECT lang, doc_id, n_tokens, lm_score,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY lm_score, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS tier
+FROM langd
+"""
+
+
+@register("ccnet_tiers", _CCNET_SQL)
+def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet bucketing stage end-to-end (Wenzek et al. 2020 §4.4):
+    per LANGUAGE, split documents into head/middle/tail terciles of the
+    LM quality score — the published recipe's final shape (CCNet ships
+    each lang's head/middle/tail as separate shards; pretraining mixes
+    sample them at different rates). Composes the corpus-trained unigram
+    LM score (`operators/quality.py::lm_score`) with a per-lang ntile —
+    ties on the rounded score break by doc_id, so the tercile boundary
+    is deterministic cross-engine.
+
+    Scale shape: scoring is the broadcast-vocabulary join the LM query
+    already pins; the tier pass adds ONE lang-keyed exchange for the
+    ntile window (CCNet's own implementation sorts per-lang shards the
+    same way). At 100 TB the ntile window is the scale constraint per
+    lang — the exact-rank-arithmetic variant (`doc_length_band`'s
+    rewrite) is the documented swap if a single language dominates."""
+    from data_harvesting_spark.operators.quality import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = lm_score(docs)
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang", "doc_id", "n_tokens", "lm_score",
+            F.ntile(3).over(w).alias("_t"),
+        )
+        .select(
+            "lang", "doc_id", "n_tokens", "lm_score",
+            F.when(F.col("_t") == 1, "head")
+            .when(F.col("_t") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier"),
+        )
+    )

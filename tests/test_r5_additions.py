@@ -1005,3 +1005,32 @@ def test_semi_anti_partition_orders(spark):
     }
     for k, n in full.items():
         assert semi.get(k, 0) + anti.get(k, 0) == n
+
+
+# ------------------------------------------------- CCNet tiering
+def test_ccnet_tiers_semantics(spark):
+    """Terciles are per-language, sized by the ntile contract (first
+    n mod 3 buckets get the extra row), and ordered: every head doc
+    scores <= every middle doc <= every tail doc within its language."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    rows = spark_queries()["ccnet_tiers"](spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r.tier] += 1
+        base = n // 3
+        assert sorted(sizes.values()) in (
+            [base, base, base],
+            [base, base, base + 1],
+            [base, base + 1, base + 1],
+        ), (lang, sizes)
+        hi = {"head": 0, "middle": 1, "tail": 2}
+        ordered = sorted(rs, key=lambda r: (r.lm_score, r.doc_id))
+        tiers = [hi[r.tier] for r in ordered]
+        assert tiers == sorted(tiers), lang  # monotone along the score
