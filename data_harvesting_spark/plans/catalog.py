@@ -61,8 +61,6 @@ _WINDOW_FRONT = [
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "harvest_rates_tool",
-    "crop_renumber",
-    "first_last_span",
     "inter_turn_latency",
     "exists_forall",
     # plans changed in round 5 — need a fresh driver row
@@ -128,6 +126,12 @@ _WINDOW_TAIL = [
     # absence pattern): a broadcast dim-join lookup, driver-green in
     # rounds 1-3 and judge-green in r4, digest-pinned
     "label_translate",
+    # rotated out at the end of round 5 to admit the two generic-CEP
+    # queries (pattern_seq_dialog, pattern_seq_conversion): trivial span
+    # aggs, driver-green in rounds 1-3 and judge-green in r4,
+    # digest-pinned + swept every round
+    "crop_renumber",
+    "first_last_span",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

@@ -1219,3 +1219,49 @@ def q_orders_priority_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ----------------------------------- generic CEP: time-bounded burst match
+@register(
+    "pattern_seq_conversion",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         LEAD(event_id, 1)   OVER w AS e1,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_id, 2)   OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(ts, 2)         OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id AS s0_event_id,
+       e1       AS s1_event_id,
+       e2       AS s2_event_id,
+       epoch_us(ts2) - epoch_us(ts) AS span_us
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts2) - epoch_us(ts) <= 86400000000
+""",
+)
+def q_pattern_seq_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-CEP conversion burst: view -> click -> purchase as
+    CONSECUTIVE events of one user (no intervening event of any type)
+    within 24 hours — the time-bounded (`within_us`) instance of
+    `operators/cep.py::seq_match`, stricter than the first-touch funnel
+    (`events_funnel`) which allows gaps. The span is exact integer
+    micros end-to-end. Streaming twin:
+    `streaming/pipeline.py::start_burst_pattern_stream_job` (same
+    handler factory as the dialog pattern — one matcher, two row
+    shapes). Scale posture: ONE user_id Exchange+Sort shared by the
+    lead chains and the span bound; no self-join (plan-asserted)."""
+    from data_harvesting_spark.operators.cep import (
+        CONVERSION_BURST,
+        seq_match,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seq_match(
+        ev, ["user_id"], ["ts", "event_id"], CONVERSION_BURST
+    )

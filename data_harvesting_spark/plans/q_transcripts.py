@@ -1279,3 +1279,52 @@ def q_tool_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select("tool", F.round("pr", 6).alias("pagerank"))
+
+
+# --------------------------------------- generic CEP: dialog triple pattern
+# The generic contiguous sequence matcher (operators/cep.py) with the
+# stock user -> assistant-tool-call -> tool-response pattern: one row
+# per complete dialog exchange, by ROW adjacency in the conversation's
+# turn order (MATCH_RECOGNIZE row-sequence semantics). Streaming twin:
+# streaming/cep.py via start_seq_pattern_stream_job.
+
+_SEQ_DIALOG_SQL = _with_t("""
+, seq AS (
+  SELECT conv_id, turn_idx, role, tool,
+         LEAD(turn_idx, 1) OVER w AS i1,
+         LEAD(role, 1)     OVER w AS r1,
+         LEAD(tool, 1)     OVER w AS t1,
+         LEAD(turn_idx, 2) OVER w AS i2,
+         LEAD(role, 2)     OVER w AS r2
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(turn_idx AS INT) AS s0_idx,
+       CAST(i1 AS INT)       AS s1_idx,
+       CAST(i2 AS INT)       AS s2_idx,
+       t1                    AS tool
+FROM seq
+WHERE role = 'user' AND r1 = 'assistant' AND t1 IS NOT NULL
+  AND r2 = 'tool'
+""")
+
+
+@register("pattern_seq_dialog", _SEQ_DIALOG_SQL)
+def q_pattern_seq_dialog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-CEP dialog-exchange matches (see operators/cep.py).
+    Scale posture: per-step predicates evaluate in-row; the n-1 lead
+    chains share ONE Exchange+Sort on conv_id (plan-asserted), no
+    self-join — pattern length changes the expression count, not the
+    shuffle count."""
+    from data_harvesting_spark.operators.cep import DIALOG_TRIPLE, seq_match
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    out = seq_match(t, ["conv_id"], ["turn_idx"], DIALOG_TRIPLE)
+    return out.select(
+        "conv_id",
+        F.col("s0_idx").cast("int").alias("s0_idx"),
+        F.col("s1_idx").cast("int").alias("s1_idx"),
+        F.col("s2_idx").cast("int").alias("s2_idx"),
+        "tool",
+    )

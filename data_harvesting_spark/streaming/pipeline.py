@@ -2389,3 +2389,109 @@ def start_components_stream_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_seq_pattern_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    available_now: bool = True,
+):
+    """The generic contiguous sequence matcher (streaming/cep.py) on the
+    transcript stream with the stock DIALOG_TRIPLE pattern — the batch
+    ``pattern_seq_dialog`` catalog query as ONE continuous stream. Rows
+    finalize strictly in event-time order at the watermark; each match
+    emits at the flush that finalizes its last step's row, with the
+    last n-1 finalized rows carried per conversation so matches spanning
+    flushes emit exactly as the batch lead-chain would (parity test).
+    Output flows through the idempotent epoch sink (W7; kill-resume
+    test)."""
+    from data_harvesting_spark.operators.cep import DIALOG_TRIPLE
+    from data_harvesting_spark.operators.curate_sessions import (
+        parse_duration_seconds,
+    )
+    from data_harvesting_spark.streaming.cep import (
+        DIALOG_OUTPUT_SCHEMA,
+        TRANSCRIPT_ROWS,
+        seq_pattern_stream,
+    )
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    assert cfg.sink_path and cfg.checkpoint_dir, "configure sink + checkpoint"
+    os.makedirs(cfg.sink_path, exist_ok=True)
+    retention_ms = int(parse_duration_seconds(cfg.cap_state_retention) * 1000)
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_transcript_stream(spark, source_dir)
+    matches = seq_pattern_stream(
+        stream,
+        TRANSCRIPT_ROWS,
+        DIALOG_TRIPLE,
+        DIALOG_OUTPUT_SCHEMA,
+        cfg.watermark_delay,
+        retention_ms,
+        late_counter,
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, epoch_id, cfg.sink_path)
+
+    writer = (
+        matches.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
+
+
+def start_burst_pattern_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    watermark_delay: str = "10 minutes",
+    retention_ms: int = 24 * 3600 * 1000,
+):
+    """The SAME generic matcher on the EVENT-LOG stream with the
+    time-bounded CONVERSION_BURST pattern (view -> click -> purchase as
+    consecutive events of one user within 30 minutes) — one handler
+    factory, two row shapes, which is the point of the generic CEP
+    surface. Batch twin: ``pattern_seq_conversion``; parity + kill-resume
+    tests."""
+    from data_harvesting_spark.operators.cep import CONVERSION_BURST
+    from data_harvesting_spark.streaming.cep import (
+        BURST_OUTPUT_SCHEMA,
+        EVENT_ROWS,
+        seq_pattern_stream,
+    )
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    late_counter = spark.sparkContext.accumulator(0)
+    stream = read_event_stream(spark, source_dir)
+    matches = seq_pattern_stream(
+        stream,
+        EVENT_ROWS,
+        CONVERSION_BURST,
+        BURST_OUTPUT_SCHEMA,
+        watermark_delay,
+        retention_ms,
+        late_counter,
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        write_epoch(df, epoch_id, sink_path)
+
+    writer = (
+        matches.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.late_counter = late_counter
+    return q
