@@ -3317,3 +3317,98 @@ def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# ------------------------------------------ duplicate-cluster representative
+# The step a real dedup pipeline runs AFTER component labeling: keep the
+# BEST member of each duplicate cluster, not the arbitrary min-id one —
+# here "best" = longest text (C4's keep-longest rule), ties to the
+# smaller doc_id. Oracle nests the components closure verbatim so the
+# cluster structure cannot drift between the two queries.
+_CLUSTER_REP_SQL = f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+j AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+mx AS (
+  SELECT component,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(n_chars) AS BIGINT) AS rep_n_chars
+  FROM j GROUP BY component
+)
+SELECT m.component, m.n_members, m.rep_n_chars,
+       CAST(min(j.doc_id) AS BIGINT) AS rep_doc_id
+FROM mx m
+JOIN j ON j.component = m.component AND j.n_chars = m.rep_n_chars
+GROUP BY 1, 2, 3
+"""
+
+
+@register("dedup_cluster_rep", _CLUSTER_REP_SQL)
+def q_dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per duplicate cluster: component
+    labels from the MinHash pair closure, one row per component with its
+    size and the keep-longest (tie: min doc_id) representative.
+
+    Scale posture: components is the O(log n)-round star closure; the
+    rep selection is ONE component-keyed hash aggregate — ``max_by`` on
+    an orderable (n_chars, -doc_id) struct, so no per-group sort, no
+    join-back (the oracle's two-agg join-back form is the portable SQL
+    spelling of the same argmax)."""
+    from data_harvesting_spark.operators.dedup import (
+        assign_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_mode="md5")
+    comp = assign_components(docs, pairs)
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("n_chars").cast("bigint").alias("rep_n_chars"),
+        F.expr(
+            "max_by(doc_id, named_struct('c', n_chars, 'i', -doc_id))"
+        ).cast("bigint").alias("rep_doc_id"),
+    )
+
+
+# ----------------------------------------------- near-dup graph triangles
+# Triangle counting over the SimHash near-dup pair graph
+# (operators/graph.py): per-doc triangle participation separates tight
+# duplicate CLIQUES (template families) from chains of borderline
+# pairs. The oracle counts each triangle once directly from the a<b
+# edge list (e1=(x,y), e2=(y,z), e3=(x,z) forces x<y<z); the Spark side
+# counts by degree orientation — same triangle set, different
+# traversal, so the match checks the orientation argument itself.
+_TRIANGLES_SQL = f"""
+WITH e AS (SELECT doc_a AS a, doc_b AS b FROM ({_SIMHASH_SQL}) sp),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) corners
+GROUP BY doc_id
+"""
+
+
+@register("neardup_triangles", _TRIANGLES_SQL)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the SimHash near-dup graph (see
+    operators/graph.py for the degree-orientation scale argument: wedge
+    fan-out bounded at O(sqrt m) per node, two shuffled joins total,
+    never an unoriented neighborhood self-join)."""
+    from data_harvesting_spark.operators.dedup import simhash_near_pairs
+    from data_harvesting_spark.operators.graph import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="md5")
+    return triangle_counts(pairs)

@@ -1034,3 +1034,77 @@ def test_ccnet_tiers_semantics(spark):
         ordered = sorted(rs, key=lambda r: (r.lm_score, r.doc_id))
         tiers = [hi[r.tier] for r in ordered]
         assert tiers == sorted(tiers), lang  # monotone along the score
+
+
+# ----------------------------------------------------- triangle counting
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-oriented counting equals the itertools brute force on a
+    graph with a clique (every K4 node is in 3 triangles), a shared-edge
+    triangle pair, a chain (no triangles), and an isolated edge."""
+    import itertools
+
+    from data_harvesting_spark.operators.graph import triangle_counts
+
+    edges = [
+        # K4 on 1-4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # two triangles sharing edge (10, 11)
+        (10, 11), (10, 12), (11, 12), (10, 13), (11, 13),
+        # chain 20-21-22 (open wedge, no triangle)
+        (20, 21), (21, 22),
+        # isolated edge
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.n_triangles
+        for r in triangle_counts(df).collect()
+    }
+    adj = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert got[1] == 3 and got[10] == 2 and got[12] == 1
+    assert 20 not in got and 30 not in got
+
+
+def test_triangle_plan_never_bnlj(spark):
+    """The orientation keeps every join an equi-join: no nested-loop or
+    cartesian stage anywhere in the physical plan."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["neardup_triangles"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_rep_is_longest_member(spark):
+    """Every emitted representative belongs to its component and has the
+    component's max n_chars; sizes sum to the doc count."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    reps = spark_queries()["dedup_cluster_rep"](spark, SF_SMOKE).toPandas()
+    comp = (
+        spark_queries()["dedup_components"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")["component"]
+    )
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .toPandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    assert reps["n_members"].sum() == len(comp)
+    for r in reps.itertuples():
+        assert comp[r.rep_doc_id] == r.component
+        assert docs[r.rep_doc_id] == r.rep_n_chars
+        members = comp[comp == r.component].index
+        assert docs[members].max() == r.rep_n_chars
+        # keep-longest, ties to the smaller doc_id
+        best = min(m for m in members if docs[m] == r.rep_n_chars)
+        assert r.rep_doc_id == best
