@@ -42,8 +42,17 @@ def triangle_counts(
     """Per-node triangle participation counts over an undirected simple
     graph given as unique (a < b) edge rows. Returns ``(doc_id,
     n_triangles)`` for every node in at least one triangle; each
-    triangle contributes 1 to each of its three corners."""
+    triangle contributes 1 to each of its three corners.
+
+    The edge list and the oriented edge list are eagerly
+    localCheckpoint'ed (the ``assign_components`` precedent,
+    operators/dedup.py): degree join, wedge self-join, and closing join
+    all scan the SAME materialized edges instead of re-expanding the
+    upstream pair-mining subtree once per reference — at 100 TB the
+    oriented edge list is the artifact you persist once and probe
+    threefold."""
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -67,6 +76,7 @@ def triangle_counts(
         .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
         .alias("rv"),
     )
+    o = o.localCheckpoint(eager=True)
     w1 = o.select("u", F.col("v").alias("v1"), F.col("rv").alias("r1"))
     w2 = o.select("u", F.col("v").alias("v2"), F.col("rv").alias("r2"))
     wedges = (

@@ -241,3 +241,42 @@ def time_bucket_gapfill(
         (F.col("_bkt") * bucket_seconds).cast("bigint").alias("bucket_start_s"),
         *[c for c in out.columns if c not in set(keys) | {"_bkt"}],
     )
+
+
+def runs_encode(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    span_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands run-length encoding: collapse CONSECUTIVE rows
+    with equal ``value_col`` (per key, in the key's total order) into
+    one row per run — ``keys + (run_value, run_len, start_us, end_us)``.
+    The batch twin of the streaming SCD2 change-point collapse
+    (streaming/scd2.py folds exactly these runs incrementally; a run's
+    [start, next-run-start) is an SCD2 validity interval), and the
+    variable-length complement of the fixed-length ``seq_match``
+    (operators/cep.py) — "3+ consecutive errors" is a run filter, not a
+    fixed pattern.
+
+    Scale posture: the classic two-window shape — change flag by
+    null-safe ``lag`` inequality, run id by running SUM of the flag —
+    shares ONE key-hash exchange with the final per-run aggregate
+    (plan-asserted). All emitted times are exact integer micros.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    chg = (
+        ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+    ).cast("bigint")
+    us = F.unix_micros(F.col(span_col).cast("timestamp"))
+    flagged = df.select(
+        *keys, *order_by, value_col, us.alias("_us"), chg.alias("_chg")
+    )
+    runs = flagged.withColumn("_rid", F.sum("_chg").over(w))
+    return runs.groupBy(*keys, "_rid").agg(
+        F.min(value_col).alias("run_value"),
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        F.min("_us").cast("bigint").alias("start_us"),
+        F.max("_us").cast("bigint").alias("end_us"),
+    ).drop("_rid")

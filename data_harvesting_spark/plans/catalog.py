@@ -48,7 +48,6 @@ _WINDOW_FRONT = [
     # rounds 1-3 driver rows only — rotated back in for a fresh round-5
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
     "stratified_sample",
-    "tfidf_top_terms",
     "dedup_components",
     "dedup_increment",
     "simhash_near_dups",
@@ -136,6 +135,10 @@ _WINDOW_TAIL = [
     # r4, digest-pinned + swept every round
     "dedup_exact_docs",
     "cosine_topk",
+    # rotated out at the end of round 5 to admit event_runs: a TF-IDF
+    # rollup, driver-green in rounds 1-3 and judge-green in r4,
+    # digest-pinned + swept every round
+    "tfidf_top_terms",
     # fresh driver rows in CORRECTNESS_r04, untouched since — safe to
     # rotate past the window; the digest pin + the per-round full-catalog
     # sweep (tests/test_oracle_full.py → ORACLE_FULL_r{N}.json) keep a

@@ -1265,3 +1265,46 @@ def q_pattern_seq_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq_match(
         ev, ["user_id"], ["ts", "event_id"], CONVERSION_BURST
     )
+
+
+# --------------------------------------------- gaps-and-islands run lengths
+@register(
+    "event_runs",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN event_type = LAG(event_type) OVER w
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rid
+  FROM flagged
+)
+SELECT user_id,
+       min(event_type)              AS run_value,
+       CAST(count(*) AS BIGINT)     AS run_len,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+FROM runs
+GROUP BY user_id, rid
+HAVING count(*) >= 3
+""",
+)
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of >= 3 CONSECUTIVE same-type
+    events per user ("retry storms" when the type is error) via
+    `operators/temporal.py::runs_encode` — the variable-length
+    complement of the fixed-length generic CEP matcher, and the batch
+    twin of the streaming SCD2 change-point collapse. Scale posture:
+    change-flag lag, running-sum run ids, and the per-run aggregate all
+    share ONE user_id exchange (plan-asserted)."""
+    from data_harvesting_spark.operators.temporal import runs_encode
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    runs = runs_encode(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", span_col="ts"
+    )
+    return runs.where(F.col("run_len") >= 3)

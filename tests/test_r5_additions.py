@@ -1108,3 +1108,49 @@ def test_cluster_rep_is_longest_member(spark):
         # keep-longest, ties to the smaller doc_id
         best = min(m for m in members if docs[m] == r.rep_n_chars)
         assert r.rep_doc_id == best
+
+
+def test_event_runs_single_exchange(spark):
+    """Change flag, run ids, and the per-run aggregate share ONE
+    user_id exchange; no join anywhere."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    plan = _plan(spark_queries()["event_runs"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_runs_encode_semantics(spark):
+    """Runs collapse consecutive equal values only; ties at equal ts
+    order by event_id; null values form their own runs (null-safe lag)."""
+    import pandas as pd
+
+    from data_harvesting_spark.generator import write_parquet_us
+    from data_harvesting_spark.operators.temporal import runs_encode
+
+    base = pd.Timestamp("2026-06-01")
+    rows = pd.DataFrame(
+        {
+            "user_id": [1] * 7 + [2] * 2,
+            "event_id": [1, 2, 3, 4, 5, 6, 7, 10, 11],
+            "event_type": ["a", "a", "b", "a", "a", "a", None, None, None],
+            "ts": [base + pd.Timedelta(seconds=s)
+                   for s in (0, 1, 2, 3, 3, 4, 5, 0, 1)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.user_id, r.run_value, r.run_len, r.start_us, r.end_us)
+        for r in runs_encode(
+            df, ["user_id"], ["ts", "event_id"], "event_type"
+        ).collect()
+    }
+    us = lambda s: int((base + pd.Timedelta(seconds=s)).value // 1000)
+    assert got == {
+        (1, "a", 2, us(0), us(1)),
+        (1, "b", 1, us(2), us(2)),
+        (1, "a", 3, us(3), us(4)),   # equal-ts tie inside the run
+        (1, None, 1, us(5), us(5)),  # null run (null-safe lag)
+        (2, None, 2, us(0), us(1)),
+    }
+    assert len(got) == 5
