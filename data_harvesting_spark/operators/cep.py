@@ -95,9 +95,12 @@ def seq_match(
     the (keys, order_by) partitioning — see module docstring."""
     n = len(pattern.steps)
     src_cols = sorted(
-        {s for _, _, s in pattern.emit}
-        | set(order_by)
-        | ({pattern.ts_col} if pattern.ts_col else set())
+        (
+            {s for _, _, s in pattern.emit}
+            | set(order_by)
+            | ({pattern.ts_col} if pattern.ts_col else set())
+        )
+        - set(keys)  # keys are already selected; avoid duplicate names
     )
     flagged = df.select(
         *keys,
