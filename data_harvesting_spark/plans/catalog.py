@@ -47,16 +47,13 @@ DRIVER_WINDOW = 50
 _WINDOW_FRONT = [
     # rounds 1-3 driver rows only — rotated back in for a fresh round-5
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
-    "stratified_sample",
     "dedup_components",
     "dedup_increment",
-    "simhash_near_dups",
     "embedding_near_dup_exact",
     "ann_lsh_topk",
     "embedding_centroid_k1",
     "sessionize",
     "harvest_rates_role_sliding",
-    "ngram_jaccard_dups",
     "harvest_rates_tool",
     "inter_turn_latency",
     "exists_forall",
@@ -85,6 +82,13 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
+    # rotated out at the very end of round 5 to admit the last three new
+    # queries (tpch_q13, key_skew_report, inverted_postings): all three
+    # of these have r1-3 driver rows, untouched plans, digest-pinned +
+    # swept every round
+    "stratified_sample",
+    "simhash_near_dups",
+    "ngram_jaccard_dups",
     # rotated out in the round-5 continuation to admit the five new
     # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round

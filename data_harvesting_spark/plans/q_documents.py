@@ -3412,3 +3412,83 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = simhash_near_pairs(docs, max_hamming=3, bits=16, hash_mode="md5")
     return triangle_counts(pairs)
+
+
+# ------------------------------------------------------ inverted index build
+# Search-index export: per index term, the full-corpus document frequency
+# and collection frequency plus the FIRST POSTING SEGMENT — the 32
+# lowest-doc_id postings as "doc_id:tf,..." — the layout a retrieval
+# system bulk-loads. Real indexes never hold a stopword's whole posting
+# list in one value: lists are SEGMENTED into bounded doc_id-ordered
+# shards; emitting segment 0 (plus exact df/cf over everything) makes
+# that bound part of the operator's contract rather than an afterthought.
+# df=1 terms index nothing cross-doc and are gated out.
+_POSTINGS_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM w2 GROUP BY term, doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term HAVING count(*) >= 2
+),
+seg AS (
+  SELECT term,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= 32 GROUP BY term
+)
+SELECT s.term, s.df, s.cf, g.postings
+FROM stats s JOIN seg g USING (term)
+"""
+
+
+@register("inverted_postings", _POSTINGS_SQL)
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index first-segment postings build (see _POSTINGS_SQL
+    header for the segmentation rationale).
+
+    Scale shape: tokenization is an in-row explode off the scan; the
+    (term, doc_id) tf aggregate is the ONE data-sized shuffle (map-side
+    combine collapses within-doc repeats before the wire); df / cf /
+    segment-0 all come from a single per-term aggregate pass on a
+    term-keyed exchange — segment 0 via min-heap semantics
+    (collect_list + sort_array + slice keeps only 32 structs per group
+    after the agg; a stopword's group is still width-bounded because
+    the aggregate buffers (doc_id, tf) pairs, never text). No ORDER BY
+    inside an aggregate, no window, no global sort. At 100 TB the
+    later segments ship the same plan filtered to doc_id ranges."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))), 1, 32
+        ).alias("seg0"),
+    )
+    return per_term.where(F.col("df") >= 2).select(
+        "term",
+        "df",
+        "cf",
+        F.array_join(
+            F.expr("transform(seg0, p -> concat(p.doc_id, ':', p.tf))"),
+            ",",
+        ).alias("postings"),
+    )

