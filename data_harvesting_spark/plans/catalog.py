@@ -54,8 +54,6 @@ _WINDOW_FRONT = [
     "embedding_centroid_k1",
     "sessionize",
     "harvest_rates_role_sliding",
-    "harvest_rates_tool",
-    "inter_turn_latency",
     "exists_forall",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
@@ -82,13 +80,17 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
-    # rotated out at the very end of round 5 to admit the last three new
-    # queries (tpch_q13, key_skew_report, inverted_postings): all three
-    # of these have r1-3 driver rows, untouched plans, digest-pinned +
-    # swept every round
+    # rotated out at the very end of round 5 to admit the last new
+    # queries (tpch_q13, key_skew_report, inverted_postings, tpch_q21,
+    # tpch_q22): all of these have r1-3 driver rows, untouched plans,
+    # digest-pinned + swept every round (the two rate/latency rollups
+    # were front-listed only for a fresh confirmation row, which the
+    # never-checked queries need more)
     "stratified_sample",
     "simhash_near_dups",
     "ngram_jaccard_dups",
+    "harvest_rates_tool",
+    "inter_turn_latency",
     # rotated out in the round-5 continuation to admit the five new
     # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round

@@ -1422,3 +1422,143 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q21
+@register(
+    "tpch_q21",
+    """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM li GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept the order waiting": for each
+    finished multi-supplier order, find the SOLE supplier whose line
+    shipped late, then rank suppliers by how many orders they alone
+    held up. (Adaptation: the synthetic lineitem carries no
+    receipt/commit dates, so "late" = shipped >60 days after the order
+    date; the quantifier structure — EXISTS another supplier, NOT
+    EXISTS another late supplier — is the shape under test.)
+
+    Scale shape: the canonical formulation self-joins lineitem twice
+    (EXISTS + NOT EXISTS); this plan replaces both quantifiers with ONE
+    per-order aggregate — count(DISTINCT suppkey), count(DISTINCT late
+    suppkey), and max(late suppkey) (which IS the lone late supplier
+    whenever n_late = 1) — so lineitem is shuffled once on l_orderkey,
+    the same key as its join with orders (AQE coalesces; no second
+    fact-sized exchange). supplier joins broadcast; top-10 is
+    TakeOrdered. Reference analog: multi-enricher disagreement
+    triage (SURVEY §2 J1/P5/P6 composition)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    joined = li.join(
+        o.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    return (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q22
+@register(
+    "tpch_q22",
+    """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+),
+avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM cust WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM cust, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = cust.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style "global sales opportunity": per nation group, the
+    count and total balance of above-average-balance customers who have
+    never placed an urgent order — scalar-subquery threshold + anti-join.
+    (Adaptation: nation-key residues stand in for phone prefixes, and
+    the anti-join is against URGENT orders because the synthetic data
+    gives every customer at least one order.)
+
+    Scale shape: the average is a scalar aggregate returned as a 1-row
+    broadcast crossJoin (never an empty-spec window); the NOT EXISTS is
+    a LEFT ANTI join against the DISTINCT urgent-order custkeys — the
+    priority filter pushes to the orders scan and the distinct collapses
+    the fact side map-side to at most |customers| keys before the wire;
+    the final agg runs on the filtered customer rows. At 100 TB the anti
+    join is sort-merge on custkey; AQE demotes to broadcast when the
+    distinct key side fits."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_nationkey").isin([1, 3, 5, 7, 9, 11, 13, 15, 17, 19])
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    urgent_keys = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent_keys, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -1241,3 +1241,78 @@ def test_inverted_postings_segment_semantics(spark):
     assert row.postings == want
     # every emitted segment is bounded at 32 entries
     assert all(len(r.postings.split(",")) <= 32 for r in rows)
+
+
+# ---------------------------------------------------------------- TPC-H Q21
+def test_tpch_q21_single_fact_exchange_and_brute(spark):
+    """The quantifier pair (EXISTS other supplier / NOT EXISTS other
+    late supplier) runs as ONE per-order aggregate — no lineitem
+    self-join appears in the plan (exactly one scan of lineitem), the
+    supplier join broadcasts, the top-10 is TakeOrdered — and the
+    result equals the brute-force per-order recomputation."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q21"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    s = spark.read.parquet(f"{SF_ORACLE}/supplier.parquet")
+    odate = {
+        r.o_orderkey: r.o_orderdate
+        for r in o.where(F.col("o_orderstatus") == "F").collect()
+    }
+    sname = {r.s_suppkey: r.s_name for r in s.collect()}
+    per_order: dict[int, tuple[set, set]] = {}
+    for r in li.collect():
+        if r.l_orderkey not in odate:
+            continue
+        supp, late = per_order.setdefault(r.l_orderkey, (set(), set()))
+        supp.add(r.l_suppkey)
+        if (r.l_shipdate - odate[r.l_orderkey]).days > 60:
+            late.add(r.l_suppkey)
+    waits: dict[str, int] = {}
+    for supp, late in per_order.values():
+        if len(supp) >= 2 and len(late) == 1:
+            name = sname[next(iter(late))]
+            waits[name] = waits.get(name, 0) + 1
+    brute = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.s_name, r.numwait) for r in df.collect()]
+    assert got == brute
+
+
+# ---------------------------------------------------------------- TPC-H Q22
+def test_tpch_q22_anti_join_and_brute(spark):
+    """The NOT EXISTS runs as a LEFT ANTI join against the DISTINCT
+    urgent custkeys (priority filter pushed below the distinct, which
+    sits below the join); the scalar average arrives by 1-row
+    broadcast; the histogram equals brute force."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q22"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    nk = {1, 3, 5, 7, 9, 11, 13, 15, 17, 19}
+    cust = [r for r in c.collect() if r.c_nationkey in nk]
+    pos = [r.c_acctbal for r in cust if r.c_acctbal > 0.0]
+    ab = sum(pos) / len(pos)
+    urgent = {
+        r.o_custkey
+        for r in o.where(F.col("o_orderpriority") == "1-URGENT").collect()
+    }
+    brute: dict[int, tuple[int, float]] = {}
+    for r in cust:
+        if r.c_acctbal > ab and r.c_custkey not in urgent:
+            n, t = brute.get(r.c_nationkey, (0, 0.0))
+            brute[r.c_nationkey] = (n + 1, t + r.c_acctbal)
+    got = {r.c_nationkey: (r.numcust, r.totacctbal) for r in df.collect()}
+    assert set(got) == set(brute)
+    for k, (n, t) in brute.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - round(t, 2)) < 0.05
