@@ -64,3 +64,52 @@ def bucketed_join(
     bucketed on ``on`` with compatible bucket counts, the physical plan
     has no Exchange — each task streams one bucket from each side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    spread_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Skew-safe equi-join: split each hot key of ``big`` across
+    ``n_salt`` reducers by salting the join key, and replicate ``small``
+    once per salt so every fragment still finds its match. The result
+    is row-identical to ``big.join(small, on, how)`` — salting changes
+    WHERE rows meet, never WHICH rows meet (parity-pinned by
+    tests/test_r5_additions.py::test_salted_join_parity_and_plan).
+
+    When to reach for it (north_rule: skew handled explicitly): the
+    probe side has hot keys (`key_skew_report` is the diagnosis), the
+    build side exceeds the broadcast threshold (else broadcast wins
+    outright — no salt needed), and AQE's skew-join split didn't kick
+    in (it only splits post-shuffle partitions of sort-merge joins, not
+    a skewed shuffled-hash build). Cost model: the build side ships
+    n_salt× over the wire; pick n_salt ≈ (hot-key rows / healthy task
+    size), not larger.
+
+    The salt must spread ROWS of the same key, so it hashes
+    ``spread_cols`` (a row-distinguishing column set, e.g. the event
+    id); defaults to all non-key columns of ``big``. Deterministic —
+    re-runs salt identically. Only ``big``-preserving joins make sense
+    here (inner / left / left_semi / left_anti): a right/outer join
+    would see the replicated ``small`` rows n_salt times.
+    """
+    from pyspark.sql import functions as F
+
+    if how in ("right", "right_outer", "outer", "full", "full_outer"):
+        raise ValueError(f"salted_join preserves the big side only: {how}")
+    spread = list(spread_cols) or [c for c in big.columns if c != on]
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.hash(*spread), F.lit(n_salt))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salt - 1))
+    ).alias("_salt")
+    replicated = small.select("*", salts)
+    joined = salted_big.hint("shuffle_hash").join(
+        replicated, [on, "_salt"], how
+    )
+    return joined.drop("_salt")

@@ -49,11 +49,8 @@ _WINDOW_FRONT = [
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
     "dedup_components",
     "dedup_increment",
-    "embedding_near_dup_exact",
-    "ann_lsh_topk",
     "embedding_centroid_k1",
     "sessionize",
-    "harvest_rates_role_sliding",
     "exists_forall",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
@@ -91,6 +88,9 @@ _WINDOW_TAIL = [
     "ngram_jaccard_dups",
     "harvest_rates_tool",
     "inter_turn_latency",
+    "embedding_near_dup_exact",
+    "ann_lsh_topk",
+    "harvest_rates_role_sliding",
     # rotated out in the round-5 continuation to admit the five new
     # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round

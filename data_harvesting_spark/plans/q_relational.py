@@ -1562,3 +1562,271 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------- data-quality scan
+@register(
+    "dq_profile",
+    """
+WITH m AS (
+  SELECT
+    CAST(count(*) AS DOUBLE)                             AS n_rows,
+    CAST(count(*) - count(event_id) AS DOUBLE)           AS event_id_nulls,
+    CAST(count(DISTINCT event_id) AS DOUBLE)             AS event_id_distinct,
+    CAST(count(*) - count(user_id) AS DOUBLE)            AS user_id_nulls,
+    CAST(count(DISTINCT user_id) AS DOUBLE)              AS user_id_distinct,
+    CAST(count(*) - count(event_type) AS DOUBLE)         AS event_type_nulls,
+    CAST(count(DISTINCT event_type) AS DOUBLE)           AS event_type_distinct,
+    CAST(count(*) - count(value) AS DOUBLE)              AS value_nulls,
+    CAST(min(value) AS DOUBLE)                           AS value_min,
+    CAST(max(value) AS DOUBLE)                           AS value_max,
+    round(avg(value), 6)                                 AS value_mean,
+    CAST(count(*) - count(ts) AS DOUBLE)                 AS ts_nulls,
+    CAST(floor(epoch(min(ts))) AS DOUBLE)                AS ts_min_epoch,
+    CAST(floor(epoch(max(ts))) AS DOUBLE)                AS ts_max_epoch,
+    round(avg(length(props)), 4)                         AS props_avg_len
+  FROM events
+)
+SELECT t.col AS column_name, t.metric, t.value
+FROM m, LATERAL (VALUES
+  ('_table',     'n_rows',     m.n_rows),
+  ('event_id',   'n_nulls',    m.event_id_nulls),
+  ('event_id',   'n_distinct', m.event_id_distinct),
+  ('user_id',    'n_nulls',    m.user_id_nulls),
+  ('user_id',    'n_distinct', m.user_id_distinct),
+  ('event_type', 'n_nulls',    m.event_type_nulls),
+  ('event_type', 'n_distinct', m.event_type_distinct),
+  ('value',      'n_nulls',    m.value_nulls),
+  ('value',      'min',        m.value_min),
+  ('value',      'max',        m.value_max),
+  ('value',      'mean',       m.value_mean),
+  ('ts',         'n_nulls',    m.ts_nulls),
+  ('ts',         'min_epoch',  m.ts_min_epoch),
+  ('ts',         'max_epoch',  m.ts_max_epoch),
+  ('props',      'avg_len',    m.props_avg_len)
+) AS t(col, metric, value)
+""",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass data-quality profile of the event log:
+    per-column null counts, exact distinct counts, numeric min/max/mean,
+    timestamp range, and string length — the validation report a
+    pipeline runs on every ingested batch before trusting it downstream
+    (the batch analog of the streaming metrics/lineage listener,
+    reference analog: the queue consumer's payload sanity checks,
+    /root/reference/queue_harvesting.py:84-118).
+
+    Scale shape: every metric comes out of ONE aggregate pass over the
+    scan — partial aggregation happens map-side per partition and only
+    the per-partition metric tuples (a few hundred bytes) cross the
+    wire to the scalar final aggregate (the known-intended
+    SinglePartition class); the long (column, metric, value) layout is
+    an in-row stack of the 1-row result, not a second pass. The exact
+    count(DISTINCT) trio rides the same pass via Spark's expand; at
+    100 TB swap them for approx_count_distinct / the shipped HLL
+    sketch (operators/sketch.py) — the report shape is unchanged."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = F.count(F.lit(1)).cast("double")
+    m = ev.agg(
+        n.alias("n_rows"),
+        (n - F.count("event_id")).alias("event_id_nulls"),
+        F.countDistinct("event_id").cast("double").alias("event_id_distinct"),
+        (n - F.count("user_id")).alias("user_id_nulls"),
+        F.countDistinct("user_id").cast("double").alias("user_id_distinct"),
+        (n - F.count("event_type")).alias("event_type_nulls"),
+        F.countDistinct("event_type")
+        .cast("double")
+        .alias("event_type_distinct"),
+        (n - F.count("value")).alias("value_nulls"),
+        F.min("value").cast("double").alias("value_min"),
+        F.max("value").cast("double").alias("value_max"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        (n - F.count("ts")).alias("ts_nulls"),
+        F.unix_timestamp(F.min("ts")).cast("double").alias("ts_min_epoch"),
+        F.unix_timestamp(F.max("ts")).cast("double").alias("ts_max_epoch"),
+        F.round(F.avg(F.length("props")), 4).alias("props_avg_len"),
+    )
+    pairs = [
+        ("_table", "n_rows", "n_rows"),
+        ("event_id", "n_nulls", "event_id_nulls"),
+        ("event_id", "n_distinct", "event_id_distinct"),
+        ("user_id", "n_nulls", "user_id_nulls"),
+        ("user_id", "n_distinct", "user_id_distinct"),
+        ("event_type", "n_nulls", "event_type_nulls"),
+        ("event_type", "n_distinct", "event_type_distinct"),
+        ("value", "n_nulls", "value_nulls"),
+        ("value", "min", "value_min"),
+        ("value", "max", "value_max"),
+        ("value", "mean", "value_mean"),
+        ("ts", "n_nulls", "ts_nulls"),
+        ("ts", "min_epoch", "ts_min_epoch"),
+        ("ts", "max_epoch", "ts_max_epoch"),
+        ("props", "avg_len", "props_avg_len"),
+    ]
+    stack_args = ", ".join(
+        f"'{col}', '{metric}', {field}" for col, metric, field in pairs
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) "
+            "AS (column_name, metric, value)"
+        )
+    )
+
+
+# ---------------------------------------------------------- dq constraints
+@register(
+    "dq_constraints",
+    """
+WITH m AS (
+  SELECT
+    count(*) AS n_rows,
+    count(event_id) AS event_id_filled,
+    count(DISTINCT event_id) AS event_id_distinct,
+    count(user_id) AS user_id_filled,
+    count(CASE WHEN value >= 0.0 THEN 1 END) AS value_nonneg,
+    count(value) AS value_filled,
+    count(CASE WHEN event_type IN
+      ('click','view','purchase','signup','error') THEN 1 END)
+      AS event_type_known,
+    count(event_type) AS event_type_filled
+  FROM events
+)
+SELECT t.rule, t.passed, round(t.actual, 6) AS actual
+FROM m, LATERAL (VALUES
+  ('event_id is unique',
+     m.event_id_distinct = m.event_id_filled,
+     CAST(m.event_id_distinct AS DOUBLE) / m.event_id_filled),
+  ('event_id is complete',
+     m.event_id_filled = m.n_rows,
+     CAST(m.event_id_filled AS DOUBLE) / m.n_rows),
+  ('user_id is complete',
+     m.user_id_filled = m.n_rows,
+     CAST(m.user_id_filled AS DOUBLE) / m.n_rows),
+  ('value is non-negative',
+     m.value_nonneg = m.value_filled,
+     CAST(m.value_nonneg AS DOUBLE) / m.value_filled),
+  ('event_type in domain',
+     m.event_type_known = m.event_type_filled,
+     CAST(m.event_type_known AS DOUBLE) / m.event_type_filled)
+) AS t(rule, passed, actual)
+""",
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification over the event log: named
+    rules (uniqueness, completeness, non-negativity, domain membership)
+    each reported as (rule, passed, actual ratio) — the gate a pipeline
+    evaluates before promoting a batch (compare `streaming/metrics.py`,
+    which tracks the same health signals continuously).
+
+    Scale shape: identical to dq_profile — ONE aggregate pass, map-side
+    partial aggregation, a scalar final aggregate, and an in-row stack
+    into the report layout. The rule evaluations are arithmetic on the
+    1-row metric tuple, costing nothing at any scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    known = ["click", "view", "purchase", "signup", "error"]
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_id").alias("event_id_filled"),
+        F.countDistinct("event_id").alias("event_id_distinct"),
+        F.count("user_id").alias("user_id_filled"),
+        F.count(F.when(F.col("value") >= 0.0, 1)).alias("value_nonneg"),
+        F.count("value").alias("value_filled"),
+        F.count(
+            F.when(F.col("event_type").isin(known), 1)
+        ).alias("event_type_known"),
+        F.count("event_type").alias("event_type_filled"),
+    )
+    rules = [
+        (
+            "event_id is unique",
+            F.col("event_id_distinct") == F.col("event_id_filled"),
+            F.col("event_id_distinct")
+            / F.col("event_id_filled").cast("double"),
+        ),
+        (
+            "event_id is complete",
+            F.col("event_id_filled") == F.col("n_rows"),
+            F.col("event_id_filled") / F.col("n_rows").cast("double"),
+        ),
+        (
+            "user_id is complete",
+            F.col("user_id_filled") == F.col("n_rows"),
+            F.col("user_id_filled") / F.col("n_rows").cast("double"),
+        ),
+        (
+            "value is non-negative",
+            F.col("value_nonneg") == F.col("value_filled"),
+            F.col("value_nonneg") / F.col("value_filled").cast("double"),
+        ),
+        (
+            "event_type in domain",
+            F.col("event_type_known") == F.col("event_type_filled"),
+            F.col("event_type_known")
+            / F.col("event_type_filled").cast("double"),
+        ),
+    ]
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        passed.alias("passed"),
+                        F.round(actual, 6).alias("actual"),
+                    )
+                    for rule, passed, actual in rules
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.passed", "r.actual")
+
+
+# ------------------------------------------------------------- salted join
+@register(
+    "salted_user_join",
+    """
+WITH dim AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       round(avg(floor(epoch(e.ts)) - floor(epoch(d.first_ts))), 4)
+         AS avg_age_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type
+""",
+)
+def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event age since each user's first touch, via an explicitly
+    SKEW-SALTED fact-to-dim join: the hot user keys `key_skew_report`
+    diagnoses are split across 8 reducers by salting the join key, and
+    the per-user dim is replicated once per salt so every fragment
+    still matches — the treatment for a skewed join whose build side
+    exceeds broadcast (north_rule: skew handled explicitly;
+    `salted_tool_counts` is the same treatment for aggregation).
+
+    Scale shape: salting changes where rows meet, never which rows
+    meet — the oracle is the PLAIN join, so the driver's value check
+    proves the rewrite exact. The shuffled-hash join is forced (that's
+    the at-scale shape where the dim exceeds broadcast; AQE's skew
+    split would not help a shuffled-hash build side); the dim ships
+    8x, which for a per-user tuple is noise next to splitting a
+    billion-row hot key. Timestamps compare as floor-epoch seconds on
+    both engines."""
+    from data_harvesting_spark.operators.bucketed import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = salted_join(
+        ev, dim, on="user_id", n_salt=8, spread_cols=("event_id",)
+    )
+    return joined.groupBy("event_type").agg(
+        F.round(
+            F.avg(
+                F.unix_timestamp("ts") - F.unix_timestamp("first_ts")
+            ),
+            4,
+        ).alias("avg_age_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

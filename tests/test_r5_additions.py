@@ -1316,3 +1316,88 @@ def test_tpch_q22_anti_join_and_brute(spark):
     for k, (n, t) in brute.items():
         assert got[k][0] == n
         assert abs(got[k][1] - round(t, 2)) < 0.05
+
+
+# ------------------------------------------------------------ DQ profiling
+def test_dq_profile_single_pass(spark):
+    """Every metric rides ONE aggregate pass: a single events scan in
+    the plan, no Window, no join; the long layout is an in-row stack."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["dq_profile"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+    got = {(r.column_name, r.metric): r.value for r in df.collect()}
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    assert got[("_table", "n_rows")] == float(ev.count())
+    assert got[("user_id", "n_distinct")] == float(
+        ev.select("user_id").distinct().count()
+    )
+    assert got[("event_id", "n_nulls")] == 0.0
+
+
+def test_dq_constraints_flag_dirty_data(spark, tmp_path):
+    """On the clean fixture every rule passes; on a deliberately dirty
+    table (duplicate event_id, null user_id, negative value, unknown
+    event_type) exactly the right rules fail with the right ratios."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    q = spark_queries()["dq_constraints"]
+    clean = q(spark, SF_ORACLE).collect()
+    assert all(r.passed for r in clean), clean
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").limit(8)
+    dirty = ev.unionByName(
+        ev.limit(1).select(  # duplicate event_id, bad everything else
+            "event_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.lit("mystery").alias("event_type"),
+            F.lit(-5.0).alias("value"),
+            "props",
+        )
+    )
+    dirty.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.rule: r for r in q(spark, str(tmp_path)).collect()}
+    assert not got["event_id is unique"].passed
+    assert got["event_id is unique"].actual == round(8 / 9, 6)
+    assert not got["user_id is complete"].passed
+    assert got["user_id is complete"].actual == round(8 / 9, 6)
+    assert not got["value is non-negative"].passed
+    assert not got["event_type in domain"].passed
+    assert got["event_id is complete"].passed  # still complete
+
+
+# -------------------------------------------------------------- salted join
+def test_salted_join_parity_and_plan(spark):
+    """salted_join == plain join row-for-row (inner, left, semi, anti);
+    the physical join is a ShuffledHashJoin whose keys include the
+    salt, and the small side carries the salt explode."""
+    from data_harvesting_spark.operators.bucketed import salted_join
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    dim = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n")
+    )
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = salted_join(
+            ev, dim, on="user_id", n_salt=4, how=how,
+            spread_cols=("event_id",),
+        )
+        want = ev.join(dim, "user_id", how)
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
+
+    joined = salted_join(
+        ev, dim, on="user_id", n_salt=4, spread_cols=("event_id",)
+    )
+    plan = _plan(joined)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "_salt" in plan, plan
+    assert "explode" in plan.lower() or "Generate" in plan, plan
+
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, on="user_id", how="full_outer")
