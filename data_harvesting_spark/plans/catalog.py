@@ -50,7 +50,6 @@ _WINDOW_FRONT = [
     "dedup_components",
     "dedup_increment",
     "embedding_centroid_k1",
-    "sessionize",
     "exists_forall",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
@@ -91,6 +90,7 @@ _WINDOW_TAIL = [
     "embedding_near_dup_exact",
     "ann_lsh_topk",
     "harvest_rates_role_sliding",
+    "sessionize",
     # rotated out in the round-5 continuation to admit the five new
     # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round

@@ -1830,3 +1830,76 @@ def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_age_s"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q7
+@register(
+    "tpch_q7",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-nation trade volume: revenue per year between
+    two specific nations, in both directions — the shape where TWO
+    independent dimension lineages (order→customer→nation and
+    supplier→nation) must both resolve on the same fact row before the
+    direction filter applies.
+
+    Scale shape: the only big-big edge is lineitem⋈orders (one
+    orderkey exchange pair at scale; AQE demotes to broadcast when the
+    filtered side fits — at test scale it does). customer, supplier,
+    and both nation copies are broadcast dims; the two-direction
+    predicate is a post-filter on already-joined dim columns, no extra
+    shuffle. Catalyst pushes nothing nation-specific into the fact
+    scan here (the filter needs both lineages joined) — the right
+    at-scale trim is semi-joining customer/supplier down to the two
+    nations BEFORE the fact join, which the broadcast of the filtered
+    dims achieves. Revenue is integerized to cents per row before the
+    sum (exact int64 group sums, hash-stable cross-engine)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    pair = (F.col("cust_nation") == "NATION_1") & (
+        F.col("supp_nation") == "NATION_2"
+    ) | (F.col("cust_nation") == "NATION_2") & (
+        F.col("supp_nation") == "NATION_1"
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+    )

@@ -1401,3 +1401,46 @@ def test_salted_join_parity_and_plan(spark):
 
     with pytest.raises(ValueError):
         salted_join(ev, dim, on="user_id", how="full_outer")
+
+
+# ---------------------------------------------------------------- TPC-H Q7
+def test_tpch_q7_direction_pair_and_brute(spark):
+    """Both trade directions appear, dims broadcast (no shuffled dim
+    exchange beyond the fact edge), and the per-(direction, year)
+    revenue matches brute force in exact cents."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q7"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    s = spark.read.parquet(f"{SF_ORACLE}/supplier.parquet")
+    n = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    nname = {r.n_nationkey: r.n_name for r in n.collect()}
+    ocust = {r.o_orderkey: r.o_custkey for r in o.collect()}
+    cnat = {r.c_custkey: r.c_nationkey for r in c.collect()}
+    snat = {r.s_suppkey: r.s_nationkey for r in s.collect()}
+    brute: dict[tuple, int] = {}
+    for r in li.collect():
+        cn = nname[cnat[ocust[r.l_orderkey]]]
+        sn = nname[snat[r.l_suppkey]]
+        if {cn, sn} != {"NATION_1", "NATION_2"}:
+            continue
+        key = (sn, cn, r.l_shipdate.year)
+        # Spark round() is HALF_UP; Python round() is banker's
+        import math
+
+        cents = math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        brute[key] = brute.get(key, 0) + int(cents)
+    got = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue_cents
+        for r in df.collect()
+    }
+    assert got == brute
+    assert {k[:2] for k in got} == {
+        ("NATION_1", "NATION_2"),
+        ("NATION_2", "NATION_1"),
+    }
