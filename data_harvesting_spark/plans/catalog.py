@@ -47,7 +47,6 @@ DRIVER_WINDOW = 50
 _WINDOW_FRONT = [
     # rounds 1-3 driver rows only — rotated back in for a fresh round-5
     # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
-    "dedup_components",
     "dedup_increment",
     "embedding_centroid_k1",
     "exists_forall",
@@ -91,6 +90,10 @@ _WINDOW_TAIL = [
     "ann_lsh_topk",
     "harvest_rates_role_sliding",
     "sessionize",
+    # r5 end: dedup_components rotates out to admit dq_monitor — its
+    # closure algorithm stays value-checked INSIDE the window via
+    # dedup_cluster_rep, whose oracle embeds the components CTE verbatim
+    "dedup_components",
     # rotated out in the round-5 continuation to admit the five new
     # (then eight) never-checked queries; trivial long-green rollups,
     # digest-pinned + swept every round

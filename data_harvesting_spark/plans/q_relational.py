@@ -1903,3 +1903,88 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev_cents).alias("revenue_cents"))
     )
+
+
+# --------------------------------------------------------------- dq monitor
+def _dq_monitor_sql() -> str:
+    from data_harvesting_spark.operators.sketch import HLL_NUMERATOR
+
+    return f"""
+WITH m AS (
+  SELECT
+    count(*) AS n_rows,
+    count(event_id) AS event_id_filled,
+    count(user_id) AS user_id_filled,
+    count(value) AS value_filled,
+    count(CASE WHEN value >= 0.0 THEN 1 END) AS value_nonneg,
+    count(event_type) AS event_type_filled,
+    count(CASE WHEN event_type IN
+      ('click','view','purchase','signup','error') THEN 1 END)
+      AS event_type_known
+  FROM events
+),
+hashed AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE event_id IS NOT NULL
+),
+rho AS (
+  SELECT h & 1023 AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 10)) END AS rho
+  FROM hashed
+),
+regs AS (SELECT bucket, max(rho) AS m_j FROM rho GROUP BY bucket),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS registers_used,
+         CAST(sum((1::BIGINT) << (51 - m_j)) AS BIGINT) AS s_present
+  FROM regs
+),
+est AS (
+  SELECT {HLL_NUMERATOR!r} /
+         (s_present + (1024 - registers_used) * (1::BIGINT << 51))
+           AS est_distinct
+  FROM sums
+)
+SELECT t.rule, t.passed, t.actual
+FROM m, est, LATERAL (VALUES
+  ('event_id is unique (hll)',
+     round(est.est_distinct / m.event_id_filled, 6) >= 0.9,
+     round(est.est_distinct / m.event_id_filled, 6)),
+  ('event_id is complete',
+     m.event_id_filled = m.n_rows,
+     round(CAST(m.event_id_filled AS DOUBLE) / m.n_rows, 6)),
+  ('user_id is complete',
+     m.user_id_filled = m.n_rows,
+     round(CAST(m.user_id_filled AS DOUBLE) / m.n_rows, 6)),
+  ('value is non-negative',
+     m.value_nonneg = m.value_filled,
+     round(CAST(m.value_nonneg AS DOUBLE) / m.value_filled, 6)),
+  ('event_type in domain',
+     m.event_type_known = m.event_type_filled,
+     round(CAST(m.event_type_known AS DOUBLE) / m.event_type_filled, 6))
+) AS t(rule, passed, actual)
+"""
+
+
+@register("dq_monitor", _dq_monitor_sql())
+def q_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous data-quality monitor's batch twin
+    (`operators/dq.py::dq_monitor_batch`): the `dq_constraints` rules
+    with the uniqueness check swapped for the HLL estimate — the form
+    that survives an unbounded stream, where per-id state is O(stream)
+    but 1024 max-merge registers are O(1). The oracle rebuilds the
+    identical registers (md5 → 60-bit int → bucket/rho) and the
+    exact-int harmonic sum, so the value check pins the full sketch
+    arithmetic, not just the counters. The streaming job
+    (`streaming/pipeline.py::start_dq_monitor_stream_job`) folds the
+    same two mergeable states per epoch; its final report equals this
+    query bit-for-bit (stream==batch test).
+
+    Scale shape: one counter aggregate pass (map-side partials) + one
+    1024-group register agg (O(registers) per task); the report is
+    arithmetic on their 1-row join."""
+    from data_harvesting_spark.operators.dq import dq_monitor_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dq_monitor_batch(ev)

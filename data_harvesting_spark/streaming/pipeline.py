@@ -2495,3 +2495,97 @@ def start_burst_pattern_stream_job(
     q = writer.start()
     q.late_counter = late_counter
     return q
+
+
+def start_dq_monitor_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous data-quality monitor over the event stream: every epoch
+    re-evaluates the named gate rules (uniqueness via HLL, completeness,
+    non-negativity, domain membership — `operators/dq.py`, one shared
+    frame with the batch twin) against the CUMULATIVE stream and emits
+    ``(epoch, rule, passed, actual)`` — the `dq_constraints` batch gate
+    grown into fleet telemetry, alongside the always-on listener metrics
+    (`streaming/metrics.py`).
+
+    State is two mergeable tables, O(1) in the stream: rule counters
+    (merge = SUM — every counter is a count) and 1024 event_id HLL
+    registers (merge = MAX). Both merges are associative and
+    commutative, so the final epoch's report equals the one-shot batch
+    ``dq_monitor_batch`` over the same rows EXACTLY — including the HLL
+    estimate, which is one deterministic double division over exact-int
+    sums. Exactly-once is the frozen-pre-state ledger shared with the
+    sketch streams: epoch N reads snapshot N-1 and writes snapshot N, so
+    a replayed epoch recomputes identical output for the idempotent
+    epoch sink (kill-resume pinned).
+
+    The two states ride ONE tagged snapshot table ``(kind, k, v)`` —
+    ``c`` rows merge by sum, ``h`` rows by max — so the ledger write
+    stays a single bounded parquet (≤ len(counters) + 1024 rows).
+    """
+    from data_harvesting_spark.operators.dq import (
+        dq_monitor_counters,
+        dq_monitor_registers,
+        dq_monitor_report,
+    )
+    from data_harvesting_spark.streaming.sink import write_epoch
+
+    ledger_path = sink_path.rstrip("/") + ".dqstate"
+    stream = read_event_stream(spark, source_dir)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        ctr_b = dq_monitor_counters(df).select(
+            F.lit("c").alias("kind"), "k", "v"
+        )
+        reg_b = dq_monitor_registers(df).select(
+            F.lit("h").alias("kind"),
+            F.col("bucket").cast("string").alias("k"),
+            F.col("m_j").cast("long").alias("v"),
+        )
+        prior = _read_hash_ledger(df.sparkSession, ledger_path, epoch_id)
+        merged = ctr_b.unionByName(reg_b)
+        if prior is not None:
+            merged = merged.unionByName(prior.select("kind", "k", "v"))
+        snapshot = (
+            merged.groupBy("kind", "k")
+            .agg(F.sum("v").alias("_sum"), F.max("v").alias("_max"))
+            .select(
+                "kind",
+                "k",
+                F.when(F.col("kind") == "c", F.col("_sum"))
+                .otherwise(F.col("_max"))
+                .cast("long")
+                .alias("v"),
+            )
+            .persist()
+        )
+        counters = snapshot.where(F.col("kind") == "c").select("k", "v")
+        regs = snapshot.where(F.col("kind") == "h").select(
+            F.col("k").cast("bigint").alias("bucket"),
+            F.col("v").cast("int").alias("m_j"),
+        )
+        report = dq_monitor_report(counters, regs).select(
+            F.lit(epoch_id).cast("long").alias("epoch"),
+            "rule",
+            "passed",
+            "actual",
+        )
+        write_epoch(report, epoch_id, sink_path)
+        snapshot.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"_epoch={epoch_id}")
+        )
+        snapshot.unpersist()
+        _prune_cap_ledger(ledger_path, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1444,3 +1444,136 @@ def test_tpch_q7_direction_pair_and_brute(spark):
         ("NATION_1", "NATION_2"),
         ("NATION_2", "NATION_1"),
     }
+
+
+# ------------------------------------------------------- streaming DQ gate
+@pytest.fixture(scope="module")
+def dq_batches(tmp_path_factory):
+    """Three event micro-batches that dirty different rules in different
+    epochs: a duplicate event_id lands in slice 2, a null user_id and a
+    negative value in slice 3 — so the cumulative report genuinely
+    changes per epoch and the final state merges all three."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+
+    def ev(eid, uid, typ, val, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), uid, typ, val, "{}")
+
+    files = [
+        [ev(1, 1, "click", 1.5, 0), ev(2, 1, "view", 4.0, 1),
+         ev(3, 2, "purchase", 9.0, 2)],
+        [ev(3, 2, "click", 2.0, 10),  # duplicate event_id
+         ev(5, 3, "signup", 1.0, 11)],
+        [ev(6, None, "mystery", -2.0, 20),  # null uid, bad type, neg val
+         ev(7, 4, "error", 0.5, 21)],
+    ]
+    d = tmp_path_factory.mktemp("dq_src")
+    now = _time.time()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["user_id"] = pdf["user_id"].astype("Int64")
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pdf, p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _dq_batch_report(spark, source_dir):
+    from data_harvesting_spark.operators.dq import dq_monitor_batch
+
+    return dq_monitor_batch(spark.read.parquet(source_dir + "/*.parquet"))
+
+
+def test_dq_monitor_stream_equals_batch(spark, dq_batches, tmp_path):
+    """Final cumulative epoch == one-shot batch twin EXACTLY (sum-merged
+    counters + max-merged HLL registers), and the dirty rules read
+    false with the exact ratios while uniqueness degrades as the
+    duplicate arrives."""
+    import os as _os
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_dq_monitor_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "dqsink")
+    q = start_dq_monitor_stream_job(
+        spark, dq_batches, sink, str(tmp_path / "dqckpt"),
+        available_now=False,
+    )
+    drain(q)
+
+    rows = read_epoch_sink(spark, sink).toPandas()
+    last = rows[rows["epoch"] == rows["epoch"].max()]
+    got = {r.rule: (r.passed, r.actual) for r in last.itertuples()}
+    want = {
+        r.rule: (r.passed, r.actual)
+        for r in _dq_batch_report(spark, dq_batches).collect()
+    }
+    assert got == want
+    assert not got["user_id is complete"][0]
+    assert got["user_id is complete"][1] == round(6 / 7, 6)
+    assert not got["value is non-negative"][0]
+    assert not got["event_type in domain"][0]
+    # at n=7 the raw-range-only estimator is far below its valid range
+    # (n >= 2.5m — see operators/sketch.py::hll_distinct) and reads high;
+    # the REAL claim at tiny n is stream==batch bit-equality (asserted
+    # above) — the ratio's calibration is exercised at sf0.01 by the
+    # dq_monitor oracle row, where n=10k is in range
+    est_ratio = got["event_id is unique (hll)"][1]
+    assert est_ratio > 0
+
+    # ledger stays O(counters + registers)
+    ledger = str(tmp_path / "dqsink.dqstate")
+    epochs = [n for n in _os.listdir(ledger) if n.startswith("_epoch=")]
+    snap = spark.read.parquet(f"{ledger}/{sorted(epochs)[-1]}")
+    assert snap.count() <= 7 + 1024
+
+
+def test_dq_monitor_stream_kill_and_resume(spark, dq_batches, tmp_path):
+    """W7: stop after the first micro-batch, resume from checkpoint —
+    final report equals the uninterrupted run (frozen-pre-state replay:
+    counter sums don't double-count, registers re-max identically)."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_dq_monitor_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    sink = str(tmp_path / "dqsink")
+    ckpt = str(tmp_path / "dqckpt")
+    q = start_dq_monitor_stream_job(
+        spark, dq_batches, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        prog = q.recentProgress
+        if any((p.get("numInputRows") or 0) > 0 for p in prog):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_dq_monitor_stream_job(
+        spark, dq_batches, sink, ckpt, available_now=False
+    )
+    drain(q2)
+
+    rows = read_epoch_sink(spark, sink).toPandas()
+    last = rows[rows["epoch"] == rows["epoch"].max()]
+    got = {r.rule: (r.passed, r.actual) for r in last.itertuples()}
+    want = {
+        r.rule: (r.passed, r.actual)
+        for r in _dq_batch_report(spark, dq_batches).collect()
+    }
+    assert got == want
