@@ -7,7 +7,7 @@ Protocol matches the round-4 funnel bench (BENCH.md): 4M rows, 200k
 users, 5 event types, 8 slices, local[32].
 
 Usage: python scripts/bench_event_streams.py [n_rows] [cores] [jobs...]
-Jobs: quantile scd2 followups slidinghll funnel
+Jobs: quantile scd2 followups slidinghll funnel dq
 """
 
 from __future__ import annotations
@@ -81,6 +81,7 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     jobs = sys.argv[3:] or ["quantile", "scd2", "followups", "slidinghll"]
+    # "dq" joins the default set once benched; pass it explicitly
 
     from data_harvesting_spark.session import get_spark
 
@@ -95,6 +96,7 @@ def main() -> None:
     generate_events(spark, n_rows, src, n_slices=8)
 
     from data_harvesting_spark.streaming.pipeline import (
+        start_dq_monitor_stream_job,
         start_followups_stream_job,
         start_funnel_stream_job,
         start_quantile_sketch_stream_job,
@@ -124,6 +126,8 @@ def main() -> None:
                 spark, src, sink, ckpt, window="7 days", slide="1 day",
                 watermark_delay="1 hour",
             )
+        elif job == "dq":
+            q = start_dq_monitor_stream_job(spark, src, sink, ckpt)
         elif job == "funnel":
             from data_harvesting_spark.config import HarvestConfig
 
