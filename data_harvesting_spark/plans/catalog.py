@@ -45,11 +45,6 @@ def register(name: str, oracle: str | None):
 DRIVER_WINDOW = 50
 
 _WINDOW_FRONT = [
-    # rounds 1-3 driver rows only — rotated back in for a fresh round-5
-    # row (every round-4 front/mid query got its row in CORRECTNESS_r04)
-    "dedup_increment",
-    "embedding_centroid_k1",
-    "exists_forall",
     # plans changed in round 5 — need a fresh driver row
     "semantic_dedup",       # corpus-derived anchor budget
     "ann_ivfpq_topk",       # residual encoding
@@ -75,6 +70,15 @@ _WINDOW_FRONT = [
 ]
 
 _WINDOW_TAIL = [
+    # rotated out at the close of round 5 to admit the final three
+    # never-checked queries (tpch_q6, tpch_q10, tpch_q12): these three
+    # were front-listed only for a fresh confirmation row on top of
+    # their r1-3 driver-green record (plans untouched since), and the
+    # policy gives never-checked queries priority over re-confirmations;
+    # digest-pinned + swept every round like the rest of the tail
+    "dedup_increment",
+    "embedding_centroid_k1",
+    "exists_forall",
     # rotated out at the very end of round 5 to admit the last new
     # queries (tpch_q13, key_skew_report, inverted_postings, tpch_q21,
     # tpch_q22): all of these have r1-3 driver rows, untouched plans,

@@ -1988,3 +1988,163 @@ def q_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return dq_monitor_batch(ev)
+
+
+# ---------------------------------------------------------------- TPC-H Q6
+@register(
+    "tpch_q6",
+    """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting revenue change: the canonical
+    pure-pushdown scan-aggregate. All three predicates reach the parquet
+    scan as PushedFilters (date range row-group pruning does most of the
+    work at 100 TB); the whole plan is one WholeStageCodegen span ending
+    in a scalar partial+final agg — zero shuffle of data rows, one row
+    per task to the driver. Revenue integerized to cents per row so the
+    sum is order-exact (same discipline as events_sliding_value)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q10
+@register(
+    "tpch_q10",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top 20 customers by revenue
+    lost to returns in a quarter. Join order is scale-deliberate: the
+    date-filtered orders slice joins the returnflag-filtered lineitem on
+    l_orderkey first (both filters pushed to the scans; a quarter of
+    orders is still huge at 100 TB, so this stays a shuffle join and
+    AQE may demote/broadcast at small SF), THEN the per-order partial
+    agg shrinks the fact to one row per (orderkey, custkey) before the
+    customer join — the customer dim is shuffled against an
+    already-aggregated side, never against raw lineitem. nation is a
+    25-row broadcast. Top-20 is a deterministic revenue-then-key
+    TakeOrdered; no global sort. Revenue integerized to cents per row
+    so sums are order-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+        .join(o_q, F.col("l_orderkey") == o_q.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------- TPC-H Q12 (adapted)
+@register(
+    "tpch_q12",
+    """
+SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS priority_class,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-mode/priority audit, adapted to this
+    schema (no l_shipmode/l_commitdate columns — TESTDATA.md): count
+    lineitems shipped more than 60 days after their order date, split by
+    urgent-vs-other order priority. The reference's per-row latency gate
+    (SURVEY P3/A8) at relational scale. Shape: both sides project to
+    3/2 columns at the scan, one fact-fact shuffle join on the orderkey
+    (co-partitioned by the join key — the bucketed-join variant in
+    operators/bucketed.py removes even that exchange when both tables
+    are bucketed), then a 2-group hash agg with map-side partials;
+    nothing materializes beyond the join buffers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .otherwise("low")
+            .alias("priority_class")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_items"),
+        )
+    )

@@ -1577,3 +1577,125 @@ def test_dq_monitor_stream_kill_and_resume(spark, dq_batches, tmp_path):
         for r in _dq_batch_report(spark, dq_batches).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------- TPC-H Q6 / Q10 / Q12
+def test_tpch_q6_pure_pushdown_scan_agg(spark):
+    """Q6 is the canonical scan-aggregate: every predicate reaches the
+    parquet scan as a pushed filter, there is no join anywhere, and the
+    only exchange is the 1-row scalar final agg. Values brute-checked."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q6"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # FileScan.toString truncates the PushedFilters list; the formatted
+    # explain prints it in full
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    full = buf.getvalue()
+    assert "LessThan(l_quantity" in full, full
+    assert "GreaterThanOrEqual(l_shipdate" in full, full
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    lo = dt.datetime(1997, 1, 1)
+    hi = dt.datetime(1998, 1, 1)
+    kept = [
+        r
+        for r in li
+        if lo <= r.l_shipdate < hi
+        and 0.05 <= r.l_discount <= 0.07
+        and r.l_quantity < 24
+    ]
+    # Spark F.round is HALF_UP (away from zero for positives), Python
+    # round() is half-even — floor(x + 0.5) matches Spark on positives
+    import math
+
+    want_rev = sum(
+        math.floor(r.l_extendedprice * r.l_discount * 100 + 0.5) for r in kept
+    )
+    got = df.collect()[0]
+    assert got.n_items == len(kept)
+    assert got.revenue_cents == want_rev
+
+
+def test_tpch_q10_agg_before_customer_join(spark):
+    """Q10 shape: the lineitem⋈orders revenue collapses to one row per
+    custkey BEFORE the customer join (the customer dim never meets raw
+    lineitem), the top-20 runs as TakeOrdered (no global sort exchange),
+    and the order-quarter filter is pushed to the orders scan. Top-20
+    membership and values brute-checked with the deterministic
+    revenue-then-key tie-break."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q10"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    # the per-custkey hash agg sits below the customer scan's join
+    assert plan.index("HashAggregate") > 0, plan
+
+    import math
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    lo = dt.datetime(1997, 1, 1)
+    hi = dt.datetime(1997, 7, 1)
+    cust_of = {
+        r.o_orderkey: r.o_custkey for r in o if lo <= r.o_orderdate < hi
+    }
+    rev: dict[int, int] = {}
+    for r in li:
+        if r.l_returnflag == "R" and r.l_orderkey in cust_of:
+            k = cust_of[r.l_orderkey]
+            rev[k] = rev.get(k, 0) + math.floor(
+                r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5
+            )
+    nation_of = {r.n_nationkey: r.n_name for r in n}
+    cust = {r.c_custkey: r for r in c}
+    brute = sorted(
+        ((v, k) for k, v in rev.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = df.collect()
+    assert len(got) == len(brute)
+    for row, (v, k) in zip(got, brute):
+        assert (row.c_custkey, row.revenue_cents) == (k, v)
+        assert row.c_name == cust[k].c_name
+        assert row.nation == nation_of[cust[k].c_nationkey]
+
+
+def test_tpch_q12_late_shipping_brute(spark):
+    """Adapted Q12: one orderkey shuffle join (both sides pruned to the
+    columns the agg needs), a 2-group hash agg, no nested-loop joins.
+    The 60-day lateness rule and the priority split brute-checked."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q12"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    ordr = {r.o_orderkey: r for r in o}
+    brute: dict[str, list[int]] = {}
+    for r in li:
+        od = ordr[r.l_orderkey]
+        cls = (
+            "high"
+            if od.o_orderpriority in ("1-URGENT", "2-HIGH")
+            else "low"
+        )
+        n, late = brute.get(cls, [0, 0])
+        late += int(r.l_shipdate > od.o_orderdate + dt.timedelta(days=60))
+        brute[cls] = [n + 1, late]
+    got = {r.priority_class: [r.n_items, r.late_items] for r in df.collect()}
+    assert got == brute
