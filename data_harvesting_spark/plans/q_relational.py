@@ -2148,3 +2148,280 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_items"),
         )
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q14
+@register(
+    "tpch_q14",
+    """
+WITH base AS (
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS rev_cents,
+         p.p_type
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l.l_shipdate < TIMESTAMP '1997-10-01')
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+            AS BIGINT) AS promo_cents,
+       CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) * 1.0
+             / sum(rev_cents), 6) AS promo_share
+FROM base
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion-effect share: one month of lineitem
+    (date filter pushed to the scan) joined to the part dim — broadcast
+    here and at any realistic scale (part is orders of magnitude smaller
+    than lineitem; AQE demotes past the threshold) — then a scalar
+    conditional aggregate. Revenue integerized to cents per row before
+    either sum so both the numerator and denominator are exact int64;
+    the share is one final division (bit-stable)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", rev.alias("rev_cents"))
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(0)
+            ).alias("promo_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(F.col("promo_cents") / F.col("total_cents"), 6).alias(
+            "promo_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q15
+@register(
+    "tpch_q15",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per suppkey (one
+    hash agg over the date-pruned scan, cents-integerized so the maximum
+    is well-defined across engines), the scalar max returned as a 1-row
+    broadcast crossJoin filter (the deliberate alternative to an
+    empty-spec window that would single-partition the agg output), then
+    the supplier dim broadcast for the name. Emits every supplier tied
+    at the max, as the spec's view formulation does."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("total_cents")
+        )
+    )
+    best = rev.agg(F.max("total_cents").alias("best_cents"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_cents") == F.col("best_cents"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q19
+@register(
+    "tpch_q19",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted-revenue with a disjunction of
+    conjunctive brand/size/quantity terms (adapted: this schema has no
+    p_container, so the container lists become size bands). The
+    cross-table OR cannot split into per-scan filters, but its
+    single-table residues CAN and do: the part side prunes to the three
+    brands and max size band, the lineitem side to the covering quantity
+    envelope — both pushed to the scans — and the full disjunction
+    evaluates as the equi-join's residual condition (never a nested-loop
+    join). Part stays a broadcast dim."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p_pruned = p.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_size").between(1, 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    li_pruned = li.where(F.col("l_quantity").between(1, 30)).select(
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li_pruned.join(
+            F.broadcast(p_pruned),
+            (F.col("l_partkey") == F.col("p_partkey")) & cond,
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q8
+@register(
+    "tpch_q8",
+    """
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS rev_cents,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE p.p_type = 'ECONOMY'
+    AND r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cents ELSE 0 END)
+             * 1.0 / sum(rev_cents), 6) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: NATION_2's share of ASIA's
+    ECONOMY-part import revenue per year. Eight tables, two independent
+    dim lineages resolving on the same fact row (order→customer→nation→
+    region gives the market; supplier→nation gives the competitor) —
+    the same two-lineage shape as tpch_q7. Every dim chain is broadcast
+    (part pruned to one type first, nation⋈region pre-joined driver-free
+    before broadcasting); the only big-big edge is lineitem⋈orders on
+    the orderkey (date filter pushed to the orders scan shrinks the
+    build side). Cents-integerized revenue; the share is one final
+    division per year row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # market lineage: nations inside ASIA (25x5 dim-dim join, broadcast)
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("mkt_nationkey"))
+    # customers in the market
+    mkt_cust = c.join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("mkt_nationkey"),
+    ).select("c_custkey")
+    # orders in the window placed by market customers
+    o_win = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    # supplier lineage: suppkey -> nation name (100x25, broadcast)
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    econ_parts = p.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    base = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o_win, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("rev_cents")).otherwise(0)
+    agg = base.groupBy("o_year").agg(
+        F.sum(nat).alias("nation_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.round(F.col("nation_cents") / F.col("total_cents"), 6).alias(
+            "mkt_share"
+        ),
+    )

@@ -1699,3 +1699,179 @@ def test_tpch_q12_late_shipping_brute(spark):
         brute[cls] = [n + 1, late]
     got = {r.priority_class: [r.n_items, r.late_items] for r in df.collect()}
     assert got == brute
+
+
+# ------------------------------------------------- TPC-H Q14 / Q15 / Q19 / Q8
+def test_tpch_q14_promo_share_brute(spark):
+    """Q14: part joins as a broadcast dim, no cartesian; promo and total
+    cents plus their ratio brute-checked."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q14"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    import math
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    ptype = {r.p_partkey: r.p_type for r in p}
+    lo, hi = dt.datetime(1997, 9, 1), dt.datetime(1997, 10, 1)
+    promo = total = 0
+    for r in li:
+        if lo <= r.l_shipdate < hi:
+            cents = math.floor(
+                r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5
+            )
+            total += cents
+            if ptype[r.l_partkey] == "PROMO":
+                promo += cents
+    got = df.collect()[0]
+    assert (got.promo_cents, got.total_cents) == (promo, total)
+    assert got.promo_share == round(promo / total, 6)
+
+
+def test_tpch_q15_top_supplier_ties_and_broadcast_max(spark):
+    """Q15: the scalar max arrives as a 1-row broadcast (no window over
+    the agg output), supplier dim broadcast; on a fixture with a planted
+    revenue tie BOTH suppliers surface, as the spec's view form does."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q15"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+    import math
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    s = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").collect()
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    rev: dict[int, int] = {}
+    for r in li:
+        if lo <= r.l_shipdate < hi:
+            rev[r.l_suppkey] = rev.get(r.l_suppkey, 0) + math.floor(
+                r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5
+            )
+    best = max(rev.values())
+    names = {r.s_suppkey: r.s_name for r in s}
+    want = {(k, names[k], v) for k, v in rev.items() if v == best}
+    got = {(r.s_suppkey, r.s_name, r.total_cents) for r in df.collect()}
+    assert got == want
+
+    # planted tie: two suppliers, identical single-item revenue
+    rows = [
+        (1, 100, dt.datetime(1997, 2, 1)),
+        (2, 100, dt.datetime(1997, 2, 2)),
+        (3, 50, dt.datetime(1997, 2, 3)),
+    ]
+    tie = spark.createDataFrame(
+        [(k, float(v), ts, 0.0) for k, v, ts in rows],
+        "l_suppkey long, l_extendedprice double, l_shipdate timestamp, l_discount double",
+    )
+    agg = (
+        tie.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("total_cents")
+        )
+    )
+    best_df = agg.agg(F.max("total_cents").alias("best_cents"))
+    out = agg.join(
+        F.broadcast(best_df), F.col("total_cents") == F.col("best_cents")
+    )
+    assert {r.l_suppkey for r in out.collect()} == {1, 2}
+
+
+def test_tpch_q19_disjunction_brute(spark):
+    """Q19: the OR-of-conjunctions evaluates as the equi-join's residual
+    (hash join, never nested-loop); the single-table residues prune both
+    scans. Brute-checked row-for-row."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q19"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    import math
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    part = {r.p_partkey: r for r in p}
+    n = cents = 0
+    for r in li:
+        pr = part[r.l_partkey]
+        hit = (
+            (pr.p_brand == "Brand#12" and 1 <= pr.p_size <= 15
+             and 1 <= r.l_quantity <= 11)
+            or (pr.p_brand == "Brand#23" and 1 <= pr.p_size <= 25
+                and 10 <= r.l_quantity <= 20)
+            or (pr.p_brand == "Brand#3" and 1 <= pr.p_size <= 35
+                and 20 <= r.l_quantity <= 30)
+        )
+        if hit:
+            n += 1
+            cents += math.floor(
+                r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5
+            )
+    got = df.collect()[0]
+    assert (got.n_items, got.revenue_cents) == (n, cents)
+    assert n > 0  # fixture actually exercises the disjunction
+
+
+def test_tpch_q8_market_share_brute(spark):
+    """Q8: two dim lineages resolve on the same fact row; per-year
+    NATION_2 share of ASIA's ECONOMY revenue brute-checked, no
+    cartesian/BNLJ in the plan."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q8"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    import math
+
+    sfd = SF_SMOKE
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet").collect()
+    p = {r.p_partkey: r.p_type
+         for r in spark.read.parquet(f"{sfd}/part.parquet").collect()}
+    o = {r.o_orderkey: r
+         for r in spark.read.parquet(f"{sfd}/orders.parquet").collect()}
+    c = {r.c_custkey: r.c_nationkey
+         for r in spark.read.parquet(f"{sfd}/customer.parquet").collect()}
+    n = {r.n_nationkey: r
+         for r in spark.read.parquet(f"{sfd}/nation.parquet").collect()}
+    reg = {r.r_regionkey: r.r_name
+           for r in spark.read.parquet(f"{sfd}/region.parquet").collect()}
+    s = {r.s_suppkey: r.s_nationkey
+         for r in spark.read.parquet(f"{sfd}/supplier.parquet").collect()}
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)
+    tot: dict[int, list[int]] = {}
+    for r in li:
+        if p[r.l_partkey] != "ECONOMY":
+            continue
+        od = o[r.l_orderkey]
+        if not (lo <= od.o_orderdate < hi):
+            continue
+        if reg[n[c[od.o_custkey]].n_regionkey] != "ASIA":
+            continue
+        yr = od.o_orderdate.year
+        cents = math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        nat, t = tot.get(yr, [0, 0])
+        if n[s[r.l_suppkey]].n_name == "NATION_2":
+            nat += cents
+        tot[yr] = [nat, t + cents]
+    got = {
+        r.o_year: (r.nation_cents, r.total_cents, r.mkt_share)
+        for r in df.collect()
+    }
+    want = {
+        yr: (nat, t, round(nat / t, 6)) for yr, (nat, t) in tot.items()
+    }
+    assert got == want
