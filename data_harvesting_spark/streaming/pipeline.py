@@ -2589,3 +2589,61 @@ def start_dq_monitor_stream_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_enrich_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    dim_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    available_now: bool = True,
+):
+    """Stream-static dimension enrichment with per-epoch dim refresh —
+    the streaming twin of the J2 broadcast class-mapping join
+    (`operators/mapping.py`; reference: the label-translation dim the
+    harvest loop consults per frame,
+    `/root/reference/services/harvest_service.py:150-171`), and the
+    consumer side of the SCD2 maintenance stream
+    (`start_scd2_stream_job` maintains the dimension; this job enriches
+    facts against its current snapshot).
+
+    Each micro-batch RE-READS the dimension parquet and broadcast-joins
+    it (left) onto the epoch's fact rows, so dimension updates take
+    effect at the next epoch boundary — made explicit through
+    foreachBatch because a native stream-static join against a file
+    source may pin the file listing at query start and never see
+    updates. Semantics are therefore PROCESSING-EPOCH enrichment: a row
+    is labeled with the dim version visible when its epoch runs, the
+    standard production contract for slowly-changing reference data.
+    When EVENT-TIME-correct attribution is required instead, use the
+    batch SCD2 validity-interval join (`scd2_user_state`) or the as-of
+    join (`events_asof_attribution`) — both shipped and oracle-checked.
+
+    Scale shape: the fact stream never shuffles — the dim (size-bounded
+    by contract, like every broadcast dim here) ships to executors once
+    per epoch; unknown keys survive the left join with null attributes
+    (counted downstream, never dropped silently). Exactly-once: the
+    idempotent per-epoch overwrite sink — a replayed epoch re-enriches
+    with the then-current dim snapshot and REPLACES its output
+    atomically, so each epoch directory is internally consistent with
+    exactly one dim version.
+    """
+    stream = read_event_stream(spark, source_dir)
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        dim = spark.read.parquet(dim_path)  # fresh snapshot, this epoch
+        out = df.join(F.broadcast(dim), on=key_col, how="left")
+        write_epoch(out, epoch_id, sink_path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1875,3 +1875,136 @@ def test_tpch_q8_market_share_brute(spark):
         yr: (nat, t, round(nat / t, 6)) for yr, (nat, t) in tot.items()
     }
     assert got == want
+
+
+# ------------------------------------------------- stream-static enrichment
+@pytest.fixture()
+def enrich_src(tmp_path):
+    """Two initial event micro-batch files; a third arrives later in the
+    dim-refresh test."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from tests.test_streaming import write_parquet_us
+
+    base = pd.Timestamp("2026-06-01 00:00:00")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def ev(eid, typ, secs):
+        return (eid, base + pd.Timedelta(seconds=secs), 1, typ, 1.0, "{}")
+
+    d = tmp_path / "enrich_src"
+    d.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(
+        [[ev(1, "click", 0), ev(2, "buy", 1)],
+         [ev(3, "click", 10), ev(4, "refund", 11)]]
+    ):
+        p = str(d / f"f{i}.parquet")
+        write_parquet_us(pd.DataFrame(rows, columns=cols), p)
+        _os.utime(p, (now + i, now + i))
+    return str(d)
+
+
+def _write_dim(spark, path, version):
+    rows = [("click", f"CLICK_v{version}", version),
+            ("buy", f"BUY_v{version}", version)]
+    spark.createDataFrame(
+        rows, "event_type string, label string, dim_version int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_enrich_stream_refreshes_dim_per_epoch(spark, enrich_src, tmp_path):
+    """Epochs drained under dim v1 carry v1 labels; after the dim is
+    overwritten to v2 and a new file arrives, the new epoch carries v2 —
+    per-epoch refresh, not query-start pinning. Unknown keys survive the
+    left join with null attributes; row counts match the source."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from data_harvesting_spark.streaming.pipeline import (
+        start_enrich_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+    from tests.test_streaming import write_parquet_us
+
+    dim = str(tmp_path / "dim")
+    sink = str(tmp_path / "esink")
+    ckpt = str(tmp_path / "eckpt")
+    _write_dim(spark, dim, 1)
+
+    q = start_enrich_stream_job(spark, enrich_src, dim, sink, ckpt)
+    q.awaitTermination(120)
+
+    _write_dim(spark, dim, 2)
+    base = pd.Timestamp("2026-06-01 00:01:00")
+    late = pd.DataFrame(
+        [(5, base, 1, "click", 1.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    p = str(tmp_path / "enrich_src" / "f2.parquet")
+    write_parquet_us(late, p)
+    _os.utime(p, (_time.time() + 10, _time.time() + 10))
+
+    q2 = start_enrich_stream_job(spark, enrich_src, dim, sink, ckpt)
+    q2.awaitTermination(120)
+
+    out = read_epoch_sink(spark, sink).toPandas()
+    assert len(out) == 5  # every source row survives the left join
+    by_id = out.set_index("event_id")
+    assert by_id.loc[1, "label"] == "CLICK_v1"
+    assert by_id.loc[2, "label"] == "BUY_v1"
+    assert by_id.loc[3, "label"] == "CLICK_v1"
+    assert pd.isna(by_id.loc[4, "label"])  # refund: not in the dim
+    assert by_id.loc[5, "label"] == "CLICK_v2"  # post-update epoch
+
+
+def test_enrich_stream_kill_and_resume(spark, enrich_src, tmp_path):
+    """W7: stop after the first micro-batch, resume from the checkpoint —
+    no duplicate rows (epoch overwrite), final output identical to an
+    uninterrupted run."""
+    import time as _time
+
+    from data_harvesting_spark.streaming.pipeline import (
+        start_enrich_stream_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    dim = str(tmp_path / "dim")
+    _write_dim(spark, dim, 1)
+
+    sink = str(tmp_path / "esink")
+    ckpt = str(tmp_path / "eckpt")
+    q = start_enrich_stream_job(
+        spark, enrich_src, dim, sink, ckpt, available_now=False
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any(
+            (p.get("numInputRows") or 0) > 0 for p in q.recentProgress
+        ):
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    q2 = start_enrich_stream_job(spark, enrich_src, dim, sink, ckpt)
+    q2.awaitTermination(120)
+
+    got = read_epoch_sink(spark, sink).toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3, 4]
+
+    ref_sink = str(tmp_path / "ref_sink")
+    q3 = start_enrich_stream_job(
+        spark, enrich_src, dim, ref_sink, str(tmp_path / "ref_ckpt")
+    )
+    q3.awaitTermination(120)
+    want = read_epoch_sink(spark, ref_sink).toPandas()
+    cols = ["event_id", "event_type", "label", "dim_version"]
+    g = got[cols].sort_values("event_id").reset_index(drop=True)
+    w = want[cols].sort_values("event_id").reset_index(drop=True)
+    assert g.equals(w)
