@@ -7,7 +7,7 @@ Protocol matches the round-4 funnel bench (BENCH.md): 4M rows, 200k
 users, 5 event types, 8 slices, local[32].
 
 Usage: python scripts/bench_event_streams.py [n_rows] [cores] [jobs...]
-Jobs: quantile scd2 followups slidinghll funnel dq
+Jobs: quantile scd2 followups slidinghll funnel dq enrich
 """
 
 from __future__ import annotations
@@ -97,6 +97,7 @@ def main() -> None:
 
     from data_harvesting_spark.streaming.pipeline import (
         start_dq_monitor_stream_job,
+        start_enrich_stream_job,
         start_followups_stream_job,
         start_funnel_stream_job,
         start_quantile_sketch_stream_job,
@@ -128,6 +129,17 @@ def main() -> None:
             )
         elif job == "dq":
             q = start_dq_monitor_stream_job(spark, src, sink, ckpt)
+        elif job == "enrich":
+            from pyspark.sql import functions as F
+
+            dim = os.path.join(work, "dim")
+            spark.createDataFrame(
+                [(t, f"LBL_{t.upper()}", 1)
+                 for t in ["view", "click", "signup", "purchase", "error"]],
+                "event_type string, label string, dim_version int",
+            ).coalesce(1).write.mode("overwrite").parquet(dim)
+            t0 = time.perf_counter()  # exclude dim setup
+            q = start_enrich_stream_job(spark, src, dim, sink, ckpt)
         elif job == "funnel":
             from data_harvesting_spark.config import HarvestConfig
 
