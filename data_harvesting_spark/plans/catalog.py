@@ -82,6 +82,16 @@ _WINDOW_TAIL = [
     "tpch_q15",
     "tpch_q19",
     "tpch_q8",
+    # the final five TPC-H shapes (q2, q9, q11, q16, q20 — adapted to
+    # the partsupp-less schema), added in the round-5 continuation after
+    # the window was already full of never-driver-checked queries: same
+    # documented trade as the four above — external value signal is the
+    # committed full-catalog sweep + digest pin + pytest brute checks
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     # rotated out at the close of round 5 to admit the final three
     # never-checked queries (tpch_q6, tpch_q10, tpch_q12): these three
     # were front-listed only for a fresh confirmation row on top of

@@ -2425,3 +2425,351 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+
+# ----------------------------------------------------- TPC-H Q2 (adapted)
+@register(
+    "tpch_q2",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS unit_cents
+  FROM lineitem GROUP BY 1, 2),
+eur AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+tgt AS (SELECT p_partkey, p_name FROM part
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+offers AS (
+  SELECT t.p_partkey, t.p_name, e.s_suppkey, e.s_name, e.s_acctbal,
+         e.n_name, c.unit_cents,
+         min(c.unit_cents) OVER (PARTITION BY t.p_partkey) AS best_cents
+  FROM cost c
+  JOIN tgt t ON c.l_partkey = t.p_partkey
+  JOIN eur e ON c.l_suppkey = e.s_suppkey)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+       s_suppkey, unit_cents AS cost_cents
+FROM offers WHERE unit_cents = best_cents
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier, adapted to this schema (no
+    partsupp table — TESTDATA.md), so the per-(part, supplier) unit cost
+    is DERIVED from the fact: min observed cents-integerized unit price
+    over that pair's lineitems. For every size-10-to-20 LARGE part, emit the
+    EUROPE supplier(s) offering the cheapest unit cost. Shape at 100 TB:
+    one hash agg collapses lineitem to the (part, supplier) cost grid —
+    the only full-fact pass; the part filter and the supplier→nation→
+    region lineage are both broadcast prunes of that grid, and the
+    per-part minimum is a window over the already-tiny filtered frame
+    (partitioned by p_partkey, so it rides the existing key
+    distribution; the correlated-subquery formulation of the spec would
+    re-scan per row). Full-key ORDER + LIMIT keeps the top-100
+    deterministic under ties."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cost = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("bigint")
+            .alias("unit_cents_row"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cents_row").alias("unit_cents"))
+    )
+    eur = (
+        s.join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    tgt = p.where(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")).select(
+        "p_partkey", "p_name"
+    )
+    from pyspark.sql import Window
+
+    offers = (
+        cost.join(F.broadcast(tgt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "best_cents",
+            F.min("unit_cents").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        offers.where(F.col("unit_cents") == F.col("best_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            F.col("unit_cents").alias("cost_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "nation", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------- TPC-H Q9 (adapted)
+@register(
+    "tpch_q9",
+    """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and order
+    year, adapted to this schema (no partsupp, so profit has no
+    supplycost term — it is discounted revenue over the name-matched
+    parts). Shape: the part-name filter prunes a broadcast dim BEFORE
+    touching the fact (substring LIKE can't reach the parquet scan, but
+    the dim is tiny and the semi-join effect shrinks lineitem early);
+    supplier→nation is the second broadcast lineage; the single big-big
+    edge is the orderkey join for the year, feeding a (25 nations × ~7
+    years) hash agg — partial aggregation makes the final shuffle a few
+    hundred rows regardless of input scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    red_parts = p.where(F.col("p_name").like("%red%")).select("p_partkey")
+    supp_nat = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("profit_row"),
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_row").alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------- TPC-H Q11 (adapted)
+@register(
+    "tpch_q11",
+    """
+WITH val AS (
+  SELECT l.l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1)
+SELECT p_partkey, value_cents
+FROM val
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+ORDER BY value_cents DESC, p_partkey
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock, adapted (no partsupp: a part's
+    held value for one nation's suppliers is the cents-integerized
+    extendedprice total of their lineitems). Keep parts whose value
+    exceeds 0.1% of the nation's grand total. The threshold is computed
+    as INTEGER arithmetic (value*1000 > total) so the cut is exact in
+    both engines — no float fraction at the boundary. Shape: one
+    broadcast-semi prune of the fact to one nation's suppliers (4% of
+    rows), one partkey hash agg, then the scalar grand total returns as
+    a 1-row broadcast crossJoin filter over the agg output (the q15
+    pattern — never a single-partition window)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat_supp = s.join(
+        F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v_row"),
+        )
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("v_row").alias("value_cents"))
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.join(
+            F.broadcast(total),
+            F.col("value_cents") * 1000 > F.col("total_cents"),
+        )
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------- TPC-H Q16 (adapted)
+@register(
+    "tpch_q16",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#12'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 15, 23, 35, 44, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-count by part attribute, adapted (no
+    partsupp: a supplier "offers" a part iff a lineitem pairs them; the
+    spec's complaint-supplier exclusion becomes the negative-balance
+    suppliers — the schema's only supplier-quality signal). Shape: the
+    brand/type/size prune is a broadcast dim; the exclusion list is a
+    broadcast ANTI join (NOT IN over a key-only frame — null-safe
+    because s_suppkey is a key column); count(DISTINCT suppkey) runs as
+    Spark's two-phase distinct-expand agg, partials map-side, so the
+    shuffle carries (brand, type, size, suppkey) pairs — already
+    near-distinct — not raw fact rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    tgt = p.where(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 35, 44, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(tgt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------- TPC-H Q20 (adapted)
+@register(
+    "tpch_q20",
+    """
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+  GROUP BY 1, 2),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty,
+           sum(qty) OVER (PARTITION BY l_partkey) AS total_qty
+    FROM shipped) t
+  WHERE qty * 2 > total_qty)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_12'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s.s_suppkey
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-availability suppliers, adapted (no
+    partsupp availqty: a supplier qualifies if, for some blue% part,
+    they shipped MORE THAN HALF of that part's 1997 total — the
+    dominant-shipper formulation of the spec's "more than half my
+    stock" rule). Quantities are integral in this schema, so qty*2 >
+    total is an exact integer cut. Shape: date + part-name prunes
+    (name via broadcast semi) shrink the fact before ONE (part,
+    supplier) hash agg; the per-part total is a window over that agg
+    output — a second exchange, but on the already-aggregated frame
+    (≤ one row per (part, supplier) pair, negligible next to the fact
+    scan); the surviving supplier keys distinct down to ≤|suppliers|
+    rows and broadcast-semi into the one-nation supplier dim."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    from pyspark.sql import Window
+
+    blue = p.where(F.col("p_name").like("blue%")).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_12")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
