@@ -1859,6 +1859,89 @@ def start_followups_stream_job(
     return writer.start()
 
 
+def start_unmatched_errors_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    lower_us: int = 0,
+    upper_us: int = 30 * 60 * 1_000_000,
+    watermark: str = "2 hours",
+):
+    """LEFT-OUTER watermarked stream-stream interval join — the absence
+    (dead-letter) completion of ``start_followups_stream_job``: every
+    error event pairs with its same-user follow-ups in
+    ``(error_ts + lower, error_ts + upper]``, and an error with NO
+    follow-up in that window is still emitted, null-padded, the moment
+    the watermark PROVES no future match can arrive (reference analog:
+    the harvester's unanswered-call timeout surface,
+    /root/reference/queue_harvesting.py:30-68 — here as Spark's native
+    outer join instead of the Python stateful handler in
+    ``start_timeout_stream_job``, so the timeout fires in the JVM with
+    no ledger and no Python in the loop).
+
+    Semantics/contract:
+    - Matched rows emit as soon as both sides have arrived (same as the
+      inner job); null-padded rows emit only in the no-data micro-batch
+      after the watermark passes ``l_ts + upper + delay`` — finite
+      replays need ``drain()`` (or a production always-on trigger) for
+      the final flush, and errors whose horizon the final watermark
+      never passes stay buffered (the engine cannot yet prove absence;
+      documented divergence from the batch anti-join twin, pinned by
+      the parity test's watermark-advancing sentinel).
+    - State is O(watermark-window of both sides), evicted by the engine.
+    - Unresolved errors are exactly the sink rows with ``r_event_id``
+      NULL; the batch twin of that report is
+      ``events_error_followups`` filtered to ``n_follow = 0``.
+    """
+    stream = read_event_stream(spark, source_dir)
+    errors = (
+        stream.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    follows = (
+        stream.select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = errors.join(
+        follows,
+        F.expr(
+            f"""user_id = l_user_id
+            AND r_ts > l_ts + INTERVAL {lower_us} MICROSECOND
+            AND r_ts <= l_ts + INTERVAL {upper_us} MICROSECOND"""
+        ),
+        "left_outer",
+    ).select(
+        "l_event_id", F.col("l_user_id").alias("user_id"), "l_ts",
+        "r_event_id", "r_ts", "r_value",
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        write_epoch(df, epoch_id, sink_path)
+
+    writer = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_quantile_sketch_stream_job(
     spark: SparkSession,
     source_dir: str,
