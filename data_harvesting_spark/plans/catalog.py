@@ -92,6 +92,9 @@ _WINDOW_TAIL = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    # per-window top-k (batch twin of the windowed-top-k stream job),
+    # same late-addition trade as the rest of this block
+    "topk_tools_windowed",
     # rotated out at the close of round 5 to admit the final three
     # never-checked queries (tpch_q6, tpch_q10, tpch_q12): these three
     # were front-listed only for a fresh confirmation row on top of

@@ -220,6 +220,55 @@ def q_harvest_rates_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ W4+A5 windowed top-k
+@register(
+    "topk_tools_windowed",
+    _with_t(
+        """
+, counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+         tool, CAST(count(*) AS BIGINT) AS turn_count
+  FROM transcripts WHERE tool IS NOT NULL
+  GROUP BY 1, 2)
+SELECT window_start_s, tool, turn_count, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start_s
+                                   ORDER BY turn_count DESC, tool) AS rnk
+      FROM counts) t
+WHERE rnk <= 3
+"""
+    ),
+)
+def q_topk_tools_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 × A5 — top-3 tools per tumbling hour by turn count, ties
+    deterministic by (count DESC, tool ASC). The batch twin of
+    ``streaming/pipeline.py::start_windowed_topk_stream_job`` (which
+    finalizes the same ranking per window on watermark close). Shape:
+    one (window, tool) hash agg with map-side partials, then the rank
+    partitions by window over the agg output (≤ |tools| rows per
+    window) — the window never touches raw turns."""
+    from pyspark.sql import Window
+
+    t = load_transcripts_from_events(spark, sf_dir)
+    counts = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tool")
+        .agg(F.count("*").alias("turn_count"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "tool",
+            "turn_count",
+        )
+    )
+    rank_w = Window.partitionBy("window_start_s").orderBy(
+        F.desc("turn_count"), "tool"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .where(F.col("rnk") <= 3)
+        .select("window_start_s", "tool", "turn_count", "rnk")
+    )
+
+
 # ---------------------------------------------------------------- W4 sliding
 @register(
     "harvest_rates_role_sliding",

@@ -141,6 +141,75 @@ def start_rates_job(
     return writer.start()
 
 
+def start_windowed_topk_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    k: int = 3,
+    available_now: bool = True,
+):
+    """Per-window top-k tools, FINALIZED on watermark close — the
+    streaming twin of the batch ``topk_tools_windowed`` catalog query
+    (reference analog: the per-class harvest counters the queue loop
+    prints per cycle, /root/reference/queue_harvesting.py:30-68, here
+    ranked per tumbling window instead of cumulatively).
+
+    Two-stage shape, each stage in its natural engine:
+    1. the exact (window, tool) counts run as Spark's native
+       watermarked append-mode window aggregate — JVM state, map-side
+       partials, watermark-evicted;
+    2. append mode flushes ALL of a window's groups in the single
+       micro-batch where the watermark crosses its end, so the top-k
+       cut is a per-window rank INSIDE ``foreachBatch`` over exactly
+       the finalized rows — no extra keyed state, no cross-batch
+       bookkeeping, deterministic ties by (count DESC, tool ASC).
+    At scale the rank partitions by window over one flush-batch's
+    groups (≤ |tools| rows per window), negligible next to the count
+    aggregate; windows whose end the final watermark never crosses
+    stay buffered — same finite-replay contract as every append-mode
+    job here (``drain()`` flushes what the sentinel proves closed).
+    """
+    from pyspark.sql import Window as W
+
+    stream = read_transcript_stream(spark, source_dir)
+    counts = (
+        stream.withWatermark("ts", cfg.watermark_delay)
+        .where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(F.count("*").alias("turn_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tool",
+            "turn_count",
+        )
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        rank_w = W.partitionBy("window_start").orderBy(
+            F.desc("turn_count"), "tool"
+        )
+        ranked = (
+            df.withColumn("rnk", F.row_number().over(rank_w))
+            .where(F.col("rnk") <= k)
+        )
+        write_epoch(ranked, epoch_id, sink_path)
+
+    writer = (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_dedup_stream_job(
     spark: SparkSession,
     source_dir: str,
