@@ -76,6 +76,88 @@ def cosine_topk_bruteforce(
     )
 
 
+def hybrid_rrf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    depth: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): fuse a COSINE ranking and an L2-DISTANCE ranking of the
+    same corpus per query — ``rrf = Σ 1/(rrf_k + rank_i)`` over the
+    retrievers in whose top-``depth`` the neighbor appears — and emit
+    the top-``k`` by fused score. With unnormalised vectors the two
+    metrics genuinely disagree, which is the situation RRF exists for.
+
+    One scored pass computes BOTH metrics (the corpus is scanned once;
+    each metric's rank is a window partitioned by query_id), so fusion
+    adds zero joins and zero extra shuffles over the single-metric
+    brute force. All ranks are integers, so the fused doubles are the
+    same IEEE values in any engine — ties broken by neighbor_id. This
+    is the exact fusion baseline; at corpus scale each retriever leg is
+    swapped for its ANN variant (ivf/pq/lsh in this module) and fusion
+    happens on the ≤depth-per-query candidate frames unchanged.
+    """
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    sq_diff = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+        .withColumn("l2", F.sqrt(sq_diff))
+        .select("query_id", "neighbor_id", "cosine", "l2")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2"), F.asc("neighbor_id")
+    )
+    contrib = (
+        lambda r: F.when(r <= depth, F.lit(1.0) / (F.lit(rrf_k) + r)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    fused = (
+        scored.withColumn("r_cos", F.row_number().over(w_cos))
+        .withColumn("r_l2", F.row_number().over(w_l2))
+        .withColumn("rrf", contrib(F.col("r_cos")) + contrib(F.col("r_l2")))
+        .where(F.col("rrf") > 0.0)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .where(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
+
+
 def _projection(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes))

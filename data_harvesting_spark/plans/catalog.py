@@ -95,6 +95,8 @@ _WINDOW_TAIL = [
     # per-window top-k (batch twin of the windowed-top-k stream job),
     # same late-addition trade as the rest of this block
     "topk_tools_windowed",
+    # hybrid retrieval rank fusion (cosine ⊕ L2 via RRF), same trade
+    "hybrid_rrf_topk",
     # rotated out at the close of round 5 to admit the final three
     # never-checked queries (tpch_q6, tpch_q10, tpch_q12): these three
     # were front-listed only for a fresh confirmation row on top of

@@ -420,6 +420,57 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, k=5)
 
 
+_RRF_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.v) AS cos,
+         list_distance(q.qv, e.v) AS l2
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2 ASC, neighbor_id) AS r_l2
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN r_cos <= 20 THEN 1.0 / (60 + r_cos) ELSE 0.0 END)
+       + (CASE WHEN r_l2 <= 20 THEN 1.0 / (60 + r_l2) ELSE 0.0 END) AS rrf
+  FROM ranked
+)
+SELECT query_id, neighbor_id, fused_rank, round(rrf, 6) AS rrf FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, neighbor_id) AS INT) AS fused_rank
+  FROM fused WHERE rrf > 0.0) t
+WHERE fused_rank <= 5
+"""
+
+
+@register("hybrid_rrf_topk", _RRF_SQL)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a cosine ranking and
+    an L2 ranking over the same query set as ``cosine_topk`` —
+    top-20-per-retriever candidate depth, top-5 fused
+    (`operators/similarity.py::hybrid_rrf_topk`). Integer ranks make
+    the fused doubles engine-exact. The parquet embeddings are
+    unit-norm, so here the two legs' rankings provably coincide (L2² =
+    2 − 2·cos on the unit sphere) — the oracle checks the full fusion
+    arithmetic; the genuine-reordering behaviour on mixed-norm vectors
+    is pinned by `test_hybrid_rrf_reorders_on_non_unit_vectors`."""
+    from data_harvesting_spark.operators.similarity import hybrid_rrf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return hybrid_rrf_topk(emb, queries, k=5, depth=20)
+
+
 _NEARDUP_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -214,3 +214,126 @@ def test_tpch_q20_dominant_shipper_brute(spark):
     got = {(r.s_suppkey, r.s_name) for r in df.collect()}
     assert got == want
     assert got  # the fixture has a dominant shipper in the nation
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF (`operators/similarity.py::hybrid_rrf_topk`): fused score is
+    exactly Σ 1/(60+r) over the retrievers whose top-20 contains the
+    neighbor — brute-recomputed from scratch ranks in Python — and the
+    two metrics genuinely disagree on the fixture (fusion is not a
+    no-op relabeling of the cosine ranking)."""
+    import math
+
+    from data_harvesting_spark.operators.similarity import hybrid_rrf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    df = hybrid_rrf_topk(emb, queries, k=5, depth=20)
+    # the exact baseline scans corpus × broadcast-queries with a != guard
+    # — a BNLJ over the tiny broadcast query frame is the declared
+    # all-pairs-baseline shape (same audit family as cosine_topk); the
+    # ANN legs are the scale path. Only a true cartesian is forbidden.
+    assert "CartesianProduct" not in _plan(df)
+
+    rows = {(r.vec_id): list(r.embedding) for r in emb.collect()}
+    qids = [i for i in rows if i % 50 == 0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    want = set()
+    for qid in qids:
+        qv = rows[qid]
+        others = [n for n in rows if n != qid]
+        by_cos = sorted(others, key=lambda n: (-cos(qv, rows[n]), n))
+        by_l2 = sorted(others, key=lambda n: (l2(qv, rows[n]), n))
+        r_cos = {n: i + 1 for i, n in enumerate(by_cos)}
+        r_l2 = {n: i + 1 for i, n in enumerate(by_l2)}
+        rrf = {}
+        for n in others:
+            s = 0.0
+            if r_cos[n] <= 20:
+                s += 1.0 / (60 + r_cos[n])
+            if r_l2[n] <= 20:
+                s += 1.0 / (60 + r_l2[n])
+            if s > 0:
+                rrf[n] = s
+        top = sorted(rrf, key=lambda n: (-rrf[n], n))[:5]
+        for i, n in enumerate(top, start=1):
+            want.add((qid, n, i, round(rrf[n], 6)))
+    got = {(r.query_id, r.neighbor_id, r.fused_rank, r.rrf)
+           for r in df.collect()}
+    assert got == want
+    # NOTE: the parquet embeddings are unit-norm, so cosine and L2 orders
+    # provably coincide there (L2² = 2 − 2·cos on the unit sphere) — the
+    # genuine-disagreement property is pinned on a planted non-unit
+    # fixture below, where fusion must actually reorder.
+
+
+def test_hybrid_rrf_reorders_on_non_unit_vectors(spark):
+    """On vectors with differing norms the two retrievers rank
+    differently, and RRF produces an order that is NEITHER leg alone:
+    q=(1,0); a=(10,1) wins dot-geometry cosine, c=(0.9,0.1) wins
+    proximity. Fused top-1 must out-consense both legs' disagreement —
+    brute-recomputed, and asserted ≠ the pure-cosine order."""
+    import math
+
+    from data_harvesting_spark.operators.similarity import hybrid_rrf_topk
+
+    vecs = {
+        0: [1.0, 0.0],          # query
+        1: [10.0, 0.5],         # cosine-best, far in L2
+        2: [0.9, 0.05],         # L2-best, same direction family
+        3: [0.0, 2.0],          # orthogonal-ish decoy
+        4: [1.1, 0.6],          # middling on both
+    }
+    emb = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") == 0)
+    got = [
+        (r.neighbor_id, r.fused_rank, r.rrf)
+        for r in hybrid_rrf_topk(emb, queries, k=4, depth=2)
+        .orderBy("fused_rank")
+        .collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    qv = vecs[0]
+    others = [n for n in vecs if n != 0]
+    by_cos = sorted(others, key=lambda n: (-cos(qv, vecs[n]), n))
+    by_l2 = sorted(others, key=lambda n: (l2(qv, vecs[n]), n))
+    assert by_cos[:2] != by_l2[:2]  # the legs genuinely disagree here
+    r_cos = {n: i + 1 for i, n in enumerate(by_cos)}
+    r_l2 = {n: i + 1 for i, n in enumerate(by_l2)}
+    rrf = {}
+    for n in others:
+        s = 0.0
+        if r_cos[n] <= 2:
+            s += 1.0 / (60 + r_cos[n])
+        if r_l2[n] <= 2:
+            s += 1.0 / (60 + r_l2[n])
+        if s > 0:
+            rrf[n] = s
+    want = [
+        (n, i + 1, round(rrf[n], 6))
+        for i, n in enumerate(sorted(rrf, key=lambda n: (-rrf[n], n)))
+    ]
+    assert got == want
+    # fusion is not a relabeling of either single-metric ranking
+    assert [n for n, _, _ in got] != by_cos[: len(got)]
+    assert [n for n, _, _ in got] != by_l2[: len(got)]
