@@ -2773,3 +2773,53 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ----------------------------------------------------- TPC-H Q4 (adapted)
+@register(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check, adapted (no l_commitdate /
+    l_receiptdate in this schema: "late" = shipped more than 30 days
+    after the order date): priority counts for one quarter's orders with
+    at least one late line. The CORRELATED-EXISTS completion of the
+    simpler `orders_priority_semi` shape — the correlation
+    (``l_shipdate > o_orderdate + 30d``) rides the semi join as its
+    residual condition, so the plan is still one equi-semi-join on the
+    orderkey: date filter pushed to the orders scan, semi short-circuits
+    on first late line, never a join-then-distinct. Both sides shuffle
+    on the orderkey at 100 TB; AQE demotes the quarter slice to
+    broadcast when it fits."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        o_q.join(
+            late,
+            (o_q.o_orderkey == late.l_orderkey)
+            & (
+                late.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

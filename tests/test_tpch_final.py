@@ -337,3 +337,34 @@ def test_hybrid_rrf_reorders_on_non_unit_vectors(spark):
     # fusion is not a relabeling of either single-metric ranking
     assert [n for n, _, _ in got] != by_cos[: len(got)]
     assert [n for n, _, _ in got] != by_l2[: len(got)]
+
+
+def test_tpch_q4_correlated_exists_brute(spark):
+    """Q4 adapted: one quarter's orders with ≥1 line shipped >30 days
+    after the order date, counted by priority. The correlation rides the
+    semi join as a residual — plan stays a single equi-semi-join."""
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["tpch_q4"](spark, SF_SMOKE)
+    plan = _plan(df)
+    _assert_hash_join_only(df)
+    assert "LeftSemi" in plan, plan
+
+    sfd = SF_SMOKE
+    lines: dict[int, list] = {}
+    for r in _load(spark, sfd, "lineitem"):
+        lines.setdefault(r.l_orderkey, []).append(r.l_shipdate)
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    want: dict[str, int] = {}
+    for r in _load(spark, sfd, "orders"):
+        if not (lo <= r.o_orderdate < hi):
+            continue
+        late = any(
+            s > r.o_orderdate + dt.timedelta(days=30)
+            for s in lines.get(r.o_orderkey, [])
+        )
+        if late:
+            want[r.o_orderpriority] = want.get(r.o_orderpriority, 0) + 1
+    got = {(r.o_orderpriority): r.n_orders for r in df.collect()}
+    assert got == want
+    assert got
