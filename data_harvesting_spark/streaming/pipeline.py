@@ -141,6 +141,71 @@ def start_rates_job(
     return writer.start()
 
 
+def start_union_rates_job(
+    spark: SparkSession,
+    source_dirs: list[str],
+    cfg: HarvestConfig,
+    sink_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Multi-source ingestion: the tumbling per-tool rate aggregate over
+    the UNION of several replay sources (reference analog: one consumer
+    loop per camera queue feeding the same counters,
+    /root/reference/queue_harvesting.py:30-68 — here N readStream
+    sources union into one windowed aggregate).
+
+    The property this job exists to carry (and the tests pin): each
+    source holds its OWN event-time watermark, and Spark's GLOBAL
+    watermark for the union is their MINIMUM — a window closes only
+    when EVERY source has advanced past it. That is the correct
+    completeness contract for multi-source ingestion at scale (a
+    lagging source must hold results open or its late rows would be
+    dropped from already-emitted windows), and it is also the
+    operational failure mode to monitor: one stalled source freezes
+    emission for the whole union. Counts per (window, tool) are
+    source-agnostic — parity with the batch aggregate over the
+    concatenated inputs once all sources flush.
+    """
+    if not source_dirs:
+        raise ValueError("source_dirs must be non-empty")
+    streams = [
+        read_transcript_stream(spark, d).withWatermark(
+            "ts", cfg.watermark_delay
+        )
+        for d in source_dirs
+    ]
+    unioned = streams[0]
+    for s in streams[1:]:
+        unioned = unioned.unionByName(s)
+    rates = (
+        unioned.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(F.count("*").alias("turn_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tool",
+            "turn_count",
+        )
+    )
+
+    def batch_writer(df: DataFrame, epoch_id: int) -> None:
+        from data_harvesting_spark.streaming.sink import write_epoch
+
+        write_epoch(df, epoch_id, sink_path)
+
+    writer = (
+        rates.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_windowed_topk_stream_job(
     spark: SparkSession,
     source_dir: str,
