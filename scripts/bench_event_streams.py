@@ -7,7 +7,7 @@ Protocol matches the round-4 funnel bench (BENCH.md): 4M rows, 200k
 users, 5 event types, 8 slices, local[32].
 
 Usage: python scripts/bench_event_streams.py [n_rows] [cores] [jobs...]
-Jobs: quantile scd2 followups slidinghll funnel dq enrich
+Jobs: quantile scd2 followups outerjoin slidinghll funnel dq enrich
 """
 
 from __future__ import annotations
@@ -103,6 +103,7 @@ def main() -> None:
         start_quantile_sketch_stream_job,
         start_scd2_stream_job,
         start_sliding_hll_stream_job,
+        start_unmatched_errors_stream_job,
     )
     from data_harvesting_spark.streaming.sink import read_epoch_sink
 
@@ -119,6 +120,16 @@ def main() -> None:
             )
         elif job == "followups":
             q = start_followups_stream_job(
+                spark, src, sink, ckpt, upper_us=5 * 60 * 1_000_000,
+                watermark="30 minutes",
+            )
+        elif job == "outerjoin":
+            # left-outer twin of followups: same window/watermark; under
+            # availableNow the unmatched rows of each already-closed
+            # horizon flush in the NEXT data batch, so only the final
+            # watermark window's absences stay buffered (documented
+            # holdback) — output_rows = matched pairs + flushed absences
+            q = start_unmatched_errors_stream_job(
                 spark, src, sink, ckpt, upper_us=5 * 60 * 1_000_000,
                 watermark="30 minutes",
             )
