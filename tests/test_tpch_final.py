@@ -368,3 +368,19 @@ def test_tpch_q4_correlated_exists_brute(spark):
     got = {(r.o_orderpriority): r.n_orders for r in df.collect()}
     assert got == want
     assert got
+
+
+def test_hybrid_rrf_input_order_invariance(spark):
+    """W3 for the fused retriever: shuffling the corpus row order (and
+    its partitioning) leaves the fused top-k bit-identical — every rank
+    is fully tie-broken, so no ordering leaks through the windows."""
+    from data_harvesting_spark.operators.similarity import hybrid_rrf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    shuffled = emb.orderBy(F.rand(7)).repartition(7)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    a = {(r.query_id, r.neighbor_id, r.fused_rank, r.rrf)
+         for r in hybrid_rrf_topk(emb, queries, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id, r.fused_rank, r.rrf)
+         for r in hybrid_rrf_topk(shuffled, queries, k=5).collect()}
+    assert a == b and a

@@ -149,3 +149,49 @@ def test_union_completeness_and_cross_source_merge(spark, tmp_path):
     # the first window's 'search' count is genuinely cross-source (1+1)
     w1 = BASE.to_pydatetime().replace(minute=0)
     assert (w1, "search", 2) in got
+
+
+def test_union_source_split_invariance(spark, tmp_path):
+    """W3 for multi-source ingestion: HOW rows are split across sources
+    must not change the result — the same turn set divided two different
+    ways (and with different per-source arrival order) produces the
+    identical windowed aggregate."""
+    from data_harvesting_spark.streaming.pipeline import (
+        drain,
+        start_union_rates_job,
+    )
+    from data_harvesting_spark.streaming.sink import read_epoch_sink
+
+    turns = [
+        _turn("c1", 0, "search", 5), _turn("c1", 1, "calc", 20),
+        _turn("c2", 0, "search", 35), _turn("c2", 1, "calc", 75),
+        _turn("c3", 0, "search", 80),
+    ]
+    sent_a = _turn("s-a", 0, "flush", 60 * 10)
+    sent_b = _turn("s-b", 0, "flush", 60 * 10 + 1)
+
+    results = []
+    for tag, (rows_a, rows_b) in {
+        "split1": ([turns[0], turns[2], turns[4]], [turns[1], turns[3]]),
+        "split2": ([turns[3], turns[1]], [turns[4], turns[0], turns[2]]),
+    }.items():
+        a = tmp_path / f"{tag}_a"
+        b = tmp_path / f"{tag}_b"
+        a.mkdir()
+        b.mkdir()
+        _write_source(a, [rows_a, [sent_a]])
+        _write_source(b, [rows_b, [sent_b]])
+        cfg = _cfg(str(tmp_path / tag))
+        sink = str(tmp_path / f"{tag}_sink")
+        q = start_union_rates_job(
+            spark, [str(a), str(b)], cfg, sink,
+            str(tmp_path / f"{tag}_ckpt"), available_now=False,
+        )
+        drain(q)
+        results.append({
+            (r.window_start, r.tool, r.turn_count)
+            for r in read_epoch_sink(spark, sink).collect()
+            if r.tool != "flush"
+        })
+    assert results[0] == results[1]
+    assert results[0]  # non-trivial fixture
