@@ -100,6 +100,8 @@ _WINDOW_TAIL = [
     # literal adapted Q4 (correlated EXISTS via residual semi-join),
     # closing the 22/22 TPC-H skeleton set; same late-addition trade
     "tpch_q4",
+    # batch anti twin of the streaming absence job, same trade
+    "events_unresolved_errors",
     # rotated out at the close of round 5 to admit the final three
     # never-checked queries (tpch_q6, tpch_q10, tpch_q12): these three
     # were front-listed only for a fresh confirmation row on top of

@@ -2823,3 +2823,52 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------------- unresolved errors (anti)
+@register(
+    "events_unresolved_errors",
+    """
+SELECT e.event_id, e.user_id, e.ts
+FROM events e
+WHERE e.event_type = 'error'
+  AND NOT EXISTS (SELECT 1 FROM events f
+                  WHERE f.user_id = e.user_id
+                    AND f.ts > e.ts
+                    AND f.ts <= e.ts + INTERVAL 30 MINUTE)
+ORDER BY e.event_id
+""",
+)
+def q_events_unresolved_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch anti twin of the streaming absence job
+    (`streaming/pipeline.py::start_unmatched_errors_stream_job`): error
+    events with NO same-user activity in the following 30 minutes — the
+    dead-letter / unresolved-incident report. Composition of existing
+    operators, not a new join: the bucketed interval join
+    (`operators/temporal.py::range_join`) finds the RESOLVED error ids
+    (bounded candidates, never a BNLJ), then errors LEFT ANTI that
+    ≤|errors|-row frame on the event id. Equivalent to
+    ``events_error_followups`` filtered to ``n_follow = 0`` but without
+    materialising the pair counts."""
+    from data_harvesting_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    resolved = (
+        range_join(
+            errors,
+            ev.select("user_id", "ts"),
+            on=["user_id"],
+            lower_us=0,
+            upper_us=30 * 60 * 1_000_000,
+        )
+        .select(F.col("l_event_id").alias("event_id"))
+        .distinct()
+    )
+    return (
+        errors.join(resolved, "event_id", "left_anti")
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    )

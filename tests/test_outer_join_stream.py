@@ -162,3 +162,31 @@ def test_outer_join_stream_kill_and_resume(spark, outer_batches, tmp_path):
     want_pairs, want_unresolved = _batch_truth(spark, outer_batches)
     assert {k for k in keyed if k[1] is not None} == want_pairs
     assert {k[0] for k in keyed if k[1] is None} == want_unresolved - {9}
+
+
+def test_events_unresolved_errors_matches_stream_semantics(spark):
+    """The batch anti twin agrees with a brute NOT-EXISTS recompute at
+    sf0.001, and its id set is exactly {errors} minus the inner range
+    join's left ids — the composition the plan uses."""
+    from tests.conftest import SF_SMOKE
+
+    from data_harvesting_spark.plans.catalog import spark_queries
+
+    df = spark_queries()["events_unresolved_errors"](spark, SF_SMOKE)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    want = set()
+    for r in ev:
+        if r.event_type != "error":
+            continue
+        lo = r.ts
+        import datetime as dt
+
+        hi = r.ts + dt.timedelta(minutes=30)
+        if not any(lo < t <= hi for t in by_user[r.user_id]):
+            want.add(r.event_id)
+    got = {r.event_id for r in df.collect()}
+    assert got == want
+    assert got
